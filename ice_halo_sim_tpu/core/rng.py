@@ -137,22 +137,29 @@ def feistel_bijection(i, n, seed):
     round_const = [_U32(0x9E3779B9), _U32(0x85EBCA6B), _U32(0xC2B2AE35), _U32(0x27D4EB2F)]
     seed = jnp.uint32(seed)
 
-    cur = i.astype(jnp.uint32)
-    out = jnp.full_like(cur, _U32(0xFFFFFFFF))
-    done = jnp.zeros(cur.shape, bool)
-    # Expected cycle-walk depth < 2 for n in (p/2, p]; 64 matches the
-    # reference's statistical guard.
-    for _ in range(64):
+    def one_pass(cur):
         left = (cur >> _U32(half_bits)) & hm
         right = cur & hm
         for rc in round_const:
             f = pcg_hash(seed ^ right ^ rc) & hm
             left, right = right, left ^ f
-        cand = (left << _U32(half_bits)) | right
-        ok = jnp.logical_and(~done, cand < _U32(n))
-        out = jnp.where(ok, cand, out)
-        done = jnp.logical_or(done, cand < _U32(n))
-        cur = jnp.where(done, cur, cand)
-        if (1 << bits) == n:
-            break  # power-of-(4^k) domain: first pass always lands in range
-    return jnp.where(done, out, cur % _U32(n)).astype(jnp.uint32)
+        return (left << _U32(half_bits)) | right
+
+    cur = one_pass(i.astype(jnp.uint32))
+    if (1 << bits) == n:
+        return cur  # power-of-4^k domain: always in range after one pass
+
+    # Cycle-walk out-of-range elements until they land in [0, n). Expected
+    # depth < 2 for n in (p/2, p]; 64 matches the reference's guard. A
+    # while_loop keeps the compiled graph one-pass-sized.
+    def cond(state):
+        cur, k = state
+        return jnp.logical_and(jnp.any(cur >= _U32(n)), k < 64)
+
+    def body(state):
+        cur, k = state
+        nxt = one_pass(cur)
+        return jnp.where(cur >= _U32(n), nxt, cur), k + 1
+
+    cur, _ = jax.lax.while_loop(cond, body, (cur, jnp.int32(0)))
+    return jnp.where(cur < _U32(n), cur, cur % _U32(n)).astype(jnp.uint32)

@@ -1,0 +1,313 @@
+"""Ray & orientation sampling: sun cap, crystal orientations, entry faces.
+
+Vectorized jnp mirrors of the reference's single-source device samplers
+(/root/reference/src/core/shared/pcg_shared.h):
+  - sample_sph_cap (:521-548) — sun-cone incident directions.
+  - sample_lat_lon_roll (:392-455) — orientation sampling with the
+    area-measure inverse-CDF latitude LUT + pole-flip coupling.
+  - build_crystal_rotation_9 (:458-520) — R = Rz(lon-pi) Ry(lat-pi/2) Rz(roll),
+    row-major, world = R @ crystal.
+  - InitRay_p_fid / BuildEntrySubTris (simulator.cpp:61-192) — projected-area
+    weighted entry-face fan-subtriangle sampling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ice_halo_sim_tpu.config.schema import AxisDistribution, DistType
+from ice_halo_sim_tpu.core import rng
+from ice_halo_sim_tpu.core.geometry import CrystalGeom
+from ice_halo_sim_tpu.core.latlut import N_NODES
+
+# Latitude-path taxonomy (lat_path_selection.hpp:38-60).
+LAT_FULL_SPHERE = 0
+LAT_NO_RANDOM = 1
+LAT_GAUSS_LEGACY = 3
+LAT_LUT_INVERSE_CDF = 6
+
+
+def select_lat_path(axis: AxisDistribution) -> int:
+    if axis.is_full_sphere_uniform():
+        return LAT_FULL_SPHERE
+    if axis.latitude.type == DistType.NO_RANDOM:
+        return LAT_NO_RANDOM
+    if axis.latitude.type == DistType.GAUSS_LEGACY:
+        return LAT_GAUSS_LEGACY
+    return LAT_LUT_INVERSE_CDF
+
+
+class AxisParams(NamedTuple):
+    """Per-setting orientation-sampling parameters, batched [S, ...] over the
+    scatter settings of a layer; rays gather their row by setting index."""
+
+    lat_path: jnp.ndarray   # [S] int32
+    lat_mean: jnp.ndarray   # [S] radians
+    lat_std: jnp.ndarray    # [S] radians
+    az_type: jnp.ndarray    # [S] int32
+    az_mean: jnp.ndarray    # [S] radians
+    az_std: jnp.ndarray     # [S] radians
+    roll_type: jnp.ndarray  # [S] int32
+    roll_mean: jnp.ndarray  # [S] radians
+    roll_std: jnp.ndarray   # [S] radians
+    lut_theta: jnp.ndarray  # [S, N_NODES]
+    lut_cdf: jnp.ndarray    # [S, N_NODES]
+    lut_flip: jnp.ndarray   # [S, N_NODES]
+
+
+def make_axis_params(axes, luts) -> AxisParams:
+    """Pack host AxisDistribution configs (+ prebuilt LatLuts) into arrays."""
+    deg = np.pi / 180.0
+    lat_path = np.array([select_lat_path(a) for a in axes], np.int32)
+    return AxisParams(
+        lat_path=jnp.asarray(lat_path),
+        lat_mean=jnp.asarray([a.latitude.center * deg for a in axes], jnp.float32),
+        lat_std=jnp.asarray([a.latitude.spread * deg for a in axes], jnp.float32),
+        az_type=jnp.asarray([int(a.azimuth.type) for a in axes], jnp.int32),
+        az_mean=jnp.asarray([a.azimuth.center * deg for a in axes], jnp.float32),
+        az_std=jnp.asarray([a.azimuth.spread * deg for a in axes], jnp.float32),
+        roll_type=jnp.asarray([int(a.roll.type) for a in axes], jnp.int32),
+        roll_mean=jnp.asarray([a.roll.center * deg for a in axes], jnp.float32),
+        roll_std=jnp.asarray([a.roll.spread * deg for a in axes], jnp.float32),
+        lut_theta=jnp.asarray(np.stack([l.theta for l in luts]), jnp.float32),
+        lut_cdf=jnp.asarray(np.stack([l.cdf for l in luts]), jnp.float32),
+        lut_flip=jnp.asarray(np.stack([l.flip_prob for l in luts]), jnp.float32),
+    )
+
+
+def sample_sun_dirs(seed, idx, sun_azimuth_deg: float, sun_altitude_deg: float,
+                    sun_diameter_deg: float) -> jnp.ndarray:
+    """Directions of light PROPAGATION within the sun cone [B, 3].
+
+    SampleRayDir (simulator.cpp:194-196): cap center lon = azimuth + 180 deg,
+    lat = -altitude (the travel direction), half-angle = diameter / 2.
+    Cap math mirrors sample_sph_cap (pcg_shared.h:521-548).
+    """
+    lon = jnp.deg2rad(jnp.float32(sun_azimuth_deg + 180.0))
+    lat = jnp.deg2rad(jnp.float32(-sun_altitude_deg))
+    half = jnp.deg2rad(jnp.float32(sun_diameter_deg / 2.0))
+    u = rng.uniform(seed, idx, 0)
+    c_cap = jnp.cos(half)
+    x = u + (1.0 - u) * c_cap
+    r = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    phi = rng.uniform(seed, idx, 1) * jnp.float32(2 * np.pi)
+    y = jnp.cos(phi) * r
+    z = jnp.sin(phi) * r
+    c_lon, s_lon = jnp.cos(lon), jnp.sin(lon)
+    c_lat, s_lat = jnp.cos(lat), jnp.sin(lat)
+    return jnp.stack(
+        [
+            c_lon * c_lat * x - s_lon * y - c_lon * s_lat * z,
+            s_lon * c_lat * x + c_lon * y - s_lon * s_lat * z,
+            s_lat * x + c_lat * z,
+        ],
+        axis=-1,
+    )
+
+
+def invert_lat_lut(xi, theta_nodes, cdf_nodes):
+    """Vectorized inverse-CDF lookup (pcg_shared.h:345-370).
+
+    xi: [B]; theta_nodes/cdf_nodes: [B, N_NODES] per-ray gathered tables.
+    """
+    xi = jnp.clip(xi, cdf_nodes[..., 0], cdf_nodes[..., -1])
+    lo = jnp.sum((cdf_nodes <= xi[..., None]).astype(jnp.int32), axis=-1) - 1
+    lo = jnp.clip(lo, 0, N_NODES - 2)
+    c0 = jnp.take_along_axis(cdf_nodes, lo[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cdf_nodes, (lo + 1)[..., None], axis=-1)[..., 0]
+    t0 = jnp.take_along_axis(theta_nodes, lo[..., None], axis=-1)[..., 0]
+    t1 = jnp.take_along_axis(theta_nodes, (lo + 1)[..., None], axis=-1)[..., 0]
+    denom = c1 - c0
+    w = jnp.where(denom > 0, (xi - c0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return t0 + w * (t1 - t0)
+
+
+def lat_lut_bin(theta, theta_nodes):
+    """O(1) uniform-theta bin index (pcg_shared.h:373-388)."""
+    span = theta_nodes[..., -1] - theta_nodes[..., 0]
+    t = jnp.where(span > 0, (theta - theta_nodes[..., 0]) / jnp.where(span > 0, span, 1.0), 0.0)
+    idx = (t * (N_NODES - 1)).astype(jnp.int32)
+    return jnp.clip(idx, 0, N_NODES - 2)
+
+
+def normalize_latitude(phi):
+    """Vectorized spherical latitude fold -> (phi_norm, flip)
+    (pcg_shared.h:313-325)."""
+    theta = jnp.float32(np.pi / 2) - phi
+    theta = jnp.mod(theta, jnp.float32(2 * np.pi))
+    flip = theta > jnp.float32(np.pi)
+    theta = jnp.where(flip, jnp.float32(2 * np.pi) - theta, theta)
+    return jnp.float32(np.pi / 2) - theta, flip
+
+
+def sample_lat_lon_roll(seed, idx, params: AxisParams, setting_idx):
+    """Per-ray orientation (lon, lat, roll) in radians.
+
+    Vectorized mirror of sample_lat_lon_roll (pcg_shared.h:392-455): all four
+    latitude paths computed branchlessly and selected per ray; pole flips add
+    pi to both lon and roll. Slots 0..9 of the stream are consumed here.
+    """
+    g = lambda arr: arr[setting_idx]  # noqa: E731  per-ray gather
+
+    # Full sphere path.
+    u_fs = rng.uniform(seed, idx, 0) * 2.0 - 1.0
+    phi_fs = jnp.arcsin(jnp.clip(u_fs, -1.0, 1.0))
+    lon_fs = rng.uniform(seed, idx, 1) * jnp.float32(2 * np.pi)
+
+    # Gauss-legacy path (no Jacobian correction), slots 2-3.
+    raw_gl = rng.sample_dist(seed, idx, 2, int(DistType.GAUSS_LEGACY), g(params.lat_mean), g(params.lat_std))
+    phi_gl, flip_gl = normalize_latitude(raw_gl)
+
+    # LUT inverse-CDF path, slots 4-5.
+    xi = rng.uniform(seed, idx, 4)
+    theta_nodes = params.lut_theta[setting_idx]
+    cdf_nodes = params.lut_cdf[setting_idx]
+    colat = invert_lat_lut(xi, theta_nodes, cdf_nodes)
+    phi_lut = jnp.float32(np.pi / 2) - colat
+    bin_idx = lat_lut_bin(colat, theta_nodes)
+    flip_p = jnp.take_along_axis(params.lut_flip[setting_idx], bin_idx[..., None], axis=-1)[..., 0]
+    flip_lut = rng.uniform(seed, idx, 5) < flip_p
+
+    lat_path = g(params.lat_path)
+    phi = jnp.where(lat_path == LAT_FULL_SPHERE, phi_fs, g(params.lat_mean))
+    phi = jnp.where(lat_path == LAT_GAUSS_LEGACY, phi_gl, phi)
+    phi = jnp.where(lat_path == LAT_LUT_INVERSE_CDF, phi_lut, phi)
+    flip = jnp.where(lat_path == LAT_GAUSS_LEGACY, flip_gl, False)
+    flip = jnp.where(lat_path == LAT_LUT_INVERSE_CDF, flip_lut, flip)
+
+    # Azimuth (slots 6-7) and roll (slots 8-9).
+    lon_param = rng.sample_dist(seed, idx, 6, g(params.az_type), g(params.az_mean), g(params.az_std))
+    lon = jnp.where(lat_path == LAT_FULL_SPHERE, lon_fs, lon_param)
+    roll = rng.sample_dist(seed, idx, 8, g(params.roll_type), g(params.roll_mean), g(params.roll_std))
+
+    pi = jnp.float32(np.pi)
+    lon = jnp.where(flip, lon + pi, lon)
+    roll = jnp.where(flip, roll + pi, roll)
+    return lon, phi, roll
+
+
+def build_rotation(lon, lat, roll):
+    """Row-major rotation R = Rz(lon - pi) @ Ry(lat - pi/2) @ Rz(roll),
+    [..., 3, 3]; world = R @ crystal (BuildCrystalRotation, simulator.cpp:224-231).
+    """
+    pi = jnp.float32(np.pi)
+    a = lon - pi
+    b = lat - pi / 2
+    c = roll
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cc, sc = jnp.cos(c), jnp.sin(c)
+    # Rz(a) @ Ry(b) @ Rz(c), composed in closed form.
+    r00 = ca * cb * cc - sa * sc
+    r01 = -ca * cb * sc - sa * cc
+    r02 = ca * sb
+    r10 = sa * cb * cc + ca * sc
+    r11 = -sa * cb * sc + ca * cc
+    r12 = sa * sb
+    r20 = -sb * cc
+    r21 = sb * sc
+    r22 = cb
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotate(rot, v):
+    """world = R @ crystal; rot [..., 3, 3], v [..., 3]."""
+    return jnp.einsum("...ij,...j->...i", rot, v)
+
+
+def rotate_inv(rot, v):
+    """crystal = R^T @ world."""
+    return jnp.einsum("...ji,...j->...i", rot, v)
+
+
+# --------------------------------------------------------------------------
+# Entry-face sampling
+# --------------------------------------------------------------------------
+
+class EntryTris(NamedTuple):
+    """Per-shape fan sub-triangle table, [..., T, ...] with T = NF*(MV-2).
+
+    Mirrors detail::BuildEntrySubTris (simulator.cpp:90-129): fan (v0, v[k],
+    v[k+1]), raw winding normal, area from the cross product. Absent /
+    degenerate triangles carry zero cross -> zero selection weight.
+    """
+
+    v0: jnp.ndarray          # [..., T, 3]
+    e1: jnp.ndarray          # [..., T, 3] v[k] - v0
+    e2: jnp.ndarray          # [..., T, 3] v[k+1] - v0
+    cross_half: jnp.ndarray  # [..., T, 3] 0.5 * (e1 x e2) = area * normal
+    face_idx: jnp.ndarray    # [..., T] owning face slot (int32)
+
+
+def build_entry_tris(geom: CrystalGeom) -> EntryTris:
+    nf, mv, _ = geom.face_vtx.shape[-3:]
+    v0 = geom.face_vtx[..., 0:1, :]                     # [NF, 1, 3]
+    e1 = geom.face_vtx[..., 1:-1, :] - v0               # [NF, MV-2, 3]
+    e2 = geom.face_vtx[..., 2:, :] - v0
+    cross_half = 0.5 * jnp.cross(e1, e2)
+    k = jnp.arange(1, mv - 1)
+    valid = (k[None, :] + 1 < geom.face_vtx_cnt[..., None]) & geom.face_present[..., None]
+    cross_half = jnp.where(valid[..., None], cross_half, 0.0)
+    t = nf * (mv - 2)
+    face_idx = jnp.broadcast_to(
+        jnp.arange(nf, dtype=jnp.int32)[:, None], (nf, mv - 2)
+    )
+    batch_shape = geom.face_vtx.shape[:-3]
+    return EntryTris(
+        v0=jnp.broadcast_to(v0, geom.face_vtx[..., 1:-1, :].shape).reshape(batch_shape + (t, 3)),
+        e1=e1.reshape(batch_shape + (t, 3)),
+        e2=e2.reshape(batch_shape + (t, 3)),
+        cross_half=cross_half.reshape(batch_shape + (t, 3)),
+        face_idx=jnp.broadcast_to(face_idx, batch_shape + (nf, mv - 2)).reshape(batch_shape + (t,)),
+    )
+
+
+def sample_entry(seed, idx, d_local, tris: EntryTris):
+    """Entry point + face for rays with crystal-frame direction d_local [B,3].
+
+    tris carries per-ray gathered tables [B, T, ...]. Projected-area weights
+    w_t = max(-d . cross_half, 0) (InitRay_p_fid, simulator.cpp:175-186);
+    categorical CDF selection mirrors RandomSample / categorical_sample
+    (pcg_shared.h:607-626); point-in-triangle uses the (u, v) fold
+    (sample_triangle, :496-518). Consumes slots 10-12.
+
+    Returns (p [B,3], face_idx [B] int32, has_entry [B] bool).
+    """
+    w = jnp.maximum(-jnp.sum(d_local[..., None, :] * tris.cross_half, axis=-1), 0.0)  # [B, T]
+    total = jnp.sum(w, axis=-1)
+    has_entry = total > 0.0
+    cdf = jnp.cumsum(w, axis=-1)
+    target = rng.uniform(seed, idx, 10) * total
+    sel = jnp.sum((cdf <= target[..., None]).astype(jnp.int32), axis=-1)
+    sel = jnp.clip(sel, 0, w.shape[-1] - 1)
+
+    take = lambda arr: jnp.take_along_axis(  # noqa: E731
+        arr, sel[..., None, None], axis=-2
+    )[..., 0, :]
+    v0 = take(tris.v0)
+    e1 = take(tris.e1)
+    e2 = take(tris.e2)
+    u = rng.uniform(seed, idx, 11)
+    v = rng.uniform(seed, idx, 12)
+    over = u + v > 1.0
+    u = jnp.where(over, 1.0 - u, u)
+    v = jnp.where(over, 1.0 - v, v)
+    p = v0 + u[..., None] * e1 + v[..., None] * e2
+    face = jnp.take_along_axis(tris.face_idx, sel[..., None], axis=-1)[..., 0]
+    return p, face, has_entry
+
+
+# Number of RNG slots consumed by orientation (0-9) + entry (10-12) sampling.
+ORIENT_SLOTS = 10
+ENTRY_SLOTS = 3

@@ -13,6 +13,21 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu"),
+# which BEATS the env var — without this, every op (and its ~0.7 s remote
+# compile) silently runs on the tunneled TPU. The config API wins last-write.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: drops warm test runs to ~ms/op.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/iht_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+try:
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # flag name varies across jax versions
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
