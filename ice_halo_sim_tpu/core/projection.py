@@ -1,0 +1,266 @@
+"""Lens projections: world exit direction -> pixel, all 11 lens models.
+
+Vectorized jnp port of the reference's single-source forward projection
+(/root/reference/src/core/shared/projection_shared.h:42-375) and its host
+parameter builder (src/core/lens_proj_build.hpp). Per-renderer parameters are
+resolved on the host into a small static ProjPlan (lens type and layout are
+Python-level constants, so each renderer's projector traces as straight-line
+code); the per-ray math is pure jnp.
+
+Conventions mirrored exactly:
+  - sky direction = -(exit direction); camera frame c = R^T(-w).
+  - single-lens screen handedness x = -x (projection_shared.h:237-243).
+  - dual fisheye: upper hemisphere -> left circle with (x,y) -> (-y, x)
+    screen mapping, lower -> right circle mirrored (:180-196).
+  - globe: outside-in view, camera at distance D=4, cull cz >= -1/D, x
+    negated (:300-375).
+  - pixel = floor(x * scale + W/2 + 0.5 + shift).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ice_halo_sim_tpu.config.schema import LensType, RenderConfig, VisibleRange
+
+
+class ProjPlan(NamedTuple):
+    """Host-predigested projection parameters for one renderer."""
+
+    lens_type: int          # static
+    width: int
+    height: int
+    visible: int            # static VisibleRange
+    shift_x: int
+    shift_y: int
+    scale: float
+    az0: float
+    r_scale: float
+    max_abs_dz: float
+    rot: np.ndarray         # [3, 3] row-major camera rotation
+
+
+GLOBE_CAMERA_D = 4.0
+
+
+def _rotation_z(rad):
+    c, s = math.cos(rad), math.sin(rad)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def _rotation_y(rad):
+    c, s = math.cos(rad), math.sin(rad)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def camera_rotation(view) -> np.ndarray:
+    """RenderConsumer ctor rotation chain (render.cpp:51-55):
+    R = Rz(az) @ Ry(90 - el) @ Rz(-90 + ro), row-major, world = R @ camera."""
+    rad = math.radians
+    return (
+        _rotation_z(rad(view.az))
+        @ _rotation_y(rad(90.0 - view.el))
+        @ _rotation_z(rad(-90.0 + view.ro))
+    )
+
+
+def compute_scale_az0(lens_type: LensType, fov_deg: float, short_pix: float,
+                      res_w: int, res_h: int, rot: np.ndarray) -> tuple:
+    """Per-type scale / az0 (lens_proj_build.hpp ComputeScaleAz0)."""
+    fov = math.radians(fov_deg)
+    scale, az0 = 1.0, 0.0
+    if lens_type in (LensType.LINEAR, LensType.GLOBE):
+        scale = short_pix / 2.0 / math.tan(fov / 2.0)
+    elif lens_type == LensType.FISHEYE_EQUAL_AREA:
+        scale = short_pix / 2.0 / math.sqrt(2.0) / math.sin(fov / 4.0)
+    elif lens_type == LensType.FISHEYE_EQUIDISTANT:
+        scale = short_pix * (math.pi / 2.0) / fov
+    elif lens_type == LensType.FISHEYE_STEREOGRAPHIC:
+        scale = short_pix / 2.0 / math.tan(fov / 4.0)
+    elif lens_type == LensType.FISHEYE_ORTHOGRAPHIC:
+        scale = short_pix / 2.0 / math.sin(fov / 2.0)
+    elif lens_type == LensType.RECTANGULAR:
+        short_res = min(res_w // 2, res_h)
+        scale = short_res / math.pi
+        ax_z = rot @ np.array([0.0, 0.0, 1.0])
+        az0 = math.atan2(ax_z[1], ax_z[0])
+    return scale, az0
+
+
+def dual_fisheye_r_scale(lens_type: LensType, overlap: float) -> tuple:
+    """(r_scale, max_abs_dz) for dual-fisheye overlap (projection.cpp:194-204)."""
+    if overlap <= 0:
+        return 1.0, 0.0
+    if lens_type == LensType.DUAL_FISHEYE_EQUAL_AREA:
+        return 1.0 / math.sqrt(1.0 + overlap), overlap
+    if lens_type == LensType.DUAL_FISHEYE_EQUIDISTANT:
+        return (math.pi / 2) / (math.pi / 2 + math.asin(overlap)), overlap
+    if lens_type == LensType.DUAL_FISHEYE_STEREOGRAPHIC:
+        return 1.0 / math.tan((math.pi / 2 + math.asin(overlap)) / 2.0), overlap
+    # Orthographic overlap is deliberately unsupported (render.cpp legacy note).
+    return 1.0, 0.0
+
+
+def make_proj_plan(cfg: RenderConfig) -> ProjPlan:
+    rot = camera_rotation(cfg.view)
+    short_pix = float(min(cfg.resolution[0], cfg.resolution[1]))
+    scale, az0 = compute_scale_az0(cfg.lens.type, cfg.lens.fov, short_pix,
+                                   cfg.resolution[0], cfg.resolution[1], rot)
+    r_scale, max_abs_dz = 1.0, 0.0
+    if cfg.lens.type in (
+        LensType.DUAL_FISHEYE_EQUAL_AREA,
+        LensType.DUAL_FISHEYE_EQUIDISTANT,
+        LensType.DUAL_FISHEYE_STEREOGRAPHIC,
+        LensType.DUAL_FISHEYE_ORTHOGRAPHIC,
+    ):
+        r_scale, max_abs_dz = dual_fisheye_r_scale(cfg.lens.type, cfg.overlap)
+    return ProjPlan(
+        lens_type=int(cfg.lens.type),
+        width=int(cfg.resolution[0]),
+        height=int(cfg.resolution[1]),
+        visible=int(cfg.visible),
+        shift_x=int(cfg.lens_shift[0]),
+        shift_y=int(cfg.lens_shift[1]),
+        scale=float(scale),
+        az0=float(az0),
+        r_scale=float(r_scale),
+        max_abs_dz=float(max_abs_dz),
+        rot=rot.astype(np.float32),
+    )
+
+
+def _fisheye_forward(lens_type: int, dx, dy, dz, r_scale: float):
+    """The four fisheye forwards + linear (projection_shared.h:42-96).
+    Returns (x, y, valid)."""
+    if lens_type in (LensType.FISHEYE_EQUAL_AREA, LensType.DUAL_FISHEYE_EQUAL_AREA):
+        k = r_scale / jnp.sqrt(1.0 + jnp.clip(dz, -1.0 + 1e-6, 1.0))
+        return k * dx, k * dy, jnp.ones_like(dz, bool)
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    safe_rho = jnp.maximum(rho, 1e-10)
+    theta = jnp.arccos(jnp.clip(dz, -1.0, 1.0))
+    if lens_type in (LensType.FISHEYE_EQUIDISTANT, LensType.DUAL_FISHEYE_EQUIDISTANT):
+        s = r_scale * theta / (jnp.float32(np.pi / 2) * safe_rho)
+        s = jnp.where(rho < 1e-10, 0.0, s)
+        return s * dx, s * dy, jnp.ones_like(dz, bool)
+    if lens_type in (LensType.FISHEYE_STEREOGRAPHIC, LensType.DUAL_FISHEYE_STEREOGRAPHIC):
+        s = r_scale * jnp.tan(theta / 2.0) / safe_rho
+        s = jnp.where(rho < 1e-10, 0.0, s)
+        return s * dx, s * dy, jnp.ones_like(dz, bool)
+    if lens_type in (LensType.FISHEYE_ORTHOGRAPHIC, LensType.DUAL_FISHEYE_ORTHOGRAPHIC):
+        return r_scale * dx, r_scale * dy, dz >= 0.0
+    raise ValueError(f"not a fisheye lens: {lens_type}")
+
+
+def _dual_fisheye_pixel(x_norm, y_norm, is_upper, width: int, height: int):
+    """DualFisheyeToPixelXY (projection_shared.h:176-196)."""
+    short_res = min(width // 2, height)
+    r = short_res / 2.0
+    cy = height / 2.0
+    cx_u = width / 2.0 - r
+    cx_l = width / 2.0 + r
+    fx = jnp.where(is_upper, -y_norm * r + cx_u, y_norm * r + cx_l)
+    fy = x_norm * r + cy
+    return jnp.floor(fx + 0.5).astype(jnp.int32), jnp.floor(fy + 0.5).astype(jnp.int32)
+
+
+class PixelHits(NamedTuple):
+    """0..2 pixel hits per ray; pix = py * W + px flattened, -1 when invalid.
+
+    main: drives landed weight; overlap: dual-fisheye seam dual-write
+    (no intensity contribution — render.cpp:376-390)."""
+
+    main: jnp.ndarray     # [B] int32 flattened pixel or -1
+    overlap: jnp.ndarray  # [B] int32 flattened pixel or -1
+
+
+def project(plan: ProjPlan, w_dir: jnp.ndarray) -> PixelHits:
+    """Project world exit directions [B, 3] to pixels
+    (ProjectExitToPixel, projection_shared.h:196-375)."""
+    t = plan.lens_type
+    wx, wy, wz = w_dir[..., 0], w_dir[..., 1], w_dir[..., 2]
+    rot = jnp.asarray(plan.rot)
+    W, H = plan.width, plan.height
+    no_hit = jnp.full(wx.shape, -1, jnp.int32)
+
+    def in_bounds(px, py, valid):
+        ok = valid & (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        return jnp.where(ok, py * W + px, -1)
+
+    single = t in (
+        LensType.LINEAR,
+        LensType.FISHEYE_EQUAL_AREA,
+        LensType.FISHEYE_EQUIDISTANT,
+        LensType.FISHEYE_STEREOGRAPHIC,
+        LensType.FISHEYE_ORTHOGRAPHIC,
+    )
+    if single:
+        valid = jnp.ones_like(wx, bool)
+        if plan.visible == VisibleRange.UPPER:
+            valid &= wz <= 0.0
+        elif plan.visible == VisibleRange.LOWER:
+            valid &= wz >= 0.0
+        # Camera frame: c = R^T (-w).
+        neg = -w_dir
+        c = jnp.einsum("ji,...j->...i", rot, neg)
+        cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+        if t == LensType.LINEAR:
+            safe_cz = jnp.where(cz > 0, cz, 1.0)
+            x, y = cx / safe_cz, cy / safe_cz
+            valid &= cz > 0.0
+        else:
+            valid &= cz > 0.0
+            x, y, v2 = _fisheye_forward(t, cx, cy, cz, 1.0)
+            valid &= v2
+        x = -x  # screen handedness (owner decision; projection_shared.h:237)
+        px = jnp.floor(x * plan.scale + W / 2.0 + 0.5 + plan.shift_x).astype(jnp.int32)
+        py = jnp.floor(y * plan.scale + H / 2.0 + 0.5 + plan.shift_y).astype(jnp.int32)
+        return PixelHits(main=in_bounds(px, py, valid), overlap=no_hit)
+
+    if t == LensType.RECTANGULAR:
+        sx, sy, sz = -wx, -wy, -wz
+        lon = jnp.arctan2(sy, sx) - plan.az0
+        lon = jnp.mod(lon + jnp.float32(np.pi), jnp.float32(2 * np.pi)) - jnp.float32(np.pi)
+        lat = jnp.arcsin(jnp.clip(sz, -1.0, 1.0))
+        raw_x = jnp.floor(lon * plan.scale + W / 2.0 + 0.5).astype(jnp.int32)
+        px = jnp.mod(raw_x, W)
+        py = jnp.floor(-lat * plan.scale + H / 2.0 + 0.5).astype(jnp.int32)
+        valid = (py >= 0) & (py < H)
+        return PixelHits(main=jnp.where(valid, py * W + px, -1), overlap=no_hit)
+
+    if t in (
+        LensType.DUAL_FISHEYE_EQUAL_AREA,
+        LensType.DUAL_FISHEYE_EQUIDISTANT,
+        LensType.DUAL_FISHEYE_STEREOGRAPHIC,
+        LensType.DUAL_FISHEYE_ORTHOGRAPHIC,
+    ):
+        sx, sy, sz = -wx, -wy, -wz
+        is_upper = sz >= 0.0
+        z_hemi = jnp.abs(sz)
+        x, y, _ = _fisheye_forward(t, sx, sy, z_hemi, plan.r_scale)
+        # Primary write is unconditional (legacy stored the pixel unchecked
+        # even for ortho valid=false — projection_shared.h:263-268).
+        px, py = _dual_fisheye_pixel(x, y, is_upper, W, H)
+        main = in_bounds(px, py, jnp.ones_like(is_upper))
+        overlap = no_hit
+        if plan.max_abs_dz > 0.0:
+            x2, y2, _ = _fisheye_forward(t, sx, sy, -z_hemi, plan.r_scale)
+            px2, py2 = _dual_fisheye_pixel(x2, y2, ~is_upper, W, H)
+            band = jnp.abs(sz) < plan.max_abs_dz
+            overlap = in_bounds(px2, py2, band)
+        return PixelHits(main=main, overlap=overlap)
+
+    if t == LensType.GLOBE:
+        neg = -w_dir
+        c = jnp.einsum("ji,...j->...i", rot, neg)
+        cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+        valid = cz < -1.0 / GLOBE_CAMERA_D
+        denom = GLOBE_CAMERA_D + cz
+        px = jnp.floor(-cx / denom * plan.scale + W / 2.0 + 0.5 + plan.shift_x).astype(jnp.int32)
+        py = jnp.floor(cy / denom * plan.scale + H / 2.0 + 0.5 + plan.shift_y).astype(jnp.int32)
+        return PixelHits(main=in_bounds(px, py, valid), overlap=no_hit)
+
+    raise ValueError(f"unknown lens type {t}")
