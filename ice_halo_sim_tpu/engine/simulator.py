@@ -1,0 +1,474 @@
+"""The simulation engine: host driver + fused per-batch device step.
+
+This replaces the reference's whole server/threading stack
+(/root/reference/src/server/) with the TPU-native formulation: there are no
+queues or worker threads — one jit-compiled program samples, traces through
+all scattering layers, projects, and accumulates an entire ray batch, and the
+host loop just feeds batch counters. Accumulators are donated device arrays
+(the "third clock" idea — XYZ stays device-resident across many steps and is
+drained on demand, trace_backend.hpp:495-503).
+
+Semantics mirrored from the reference:
+  - ray_num is the total across wavelengths (server.cpp:1477-1495); each ray
+    carries its own wavelength (the GPU wl-pool design, DR-3).
+  - geometry clock: `geom_clock` rays share one sampled crystal shape
+    (simulator.hpp:144-157); shapes live in a per-layer K-shape pool.
+  - multi-scattering: per-exit probability gate — on non-final layers
+    pass+roll<prob -> continuation, else accumulate; on the final layer
+    roll<prob -> drop (cuda_trace_backend.cu:940-960, S1 Bug-3 semantics).
+  - continuation rays are compacted into a fixed-size buffer and
+    Feistel-shuffled to decorrelate the ray->crystal pairing
+    (trace_backend.hpp:334-349).
+  - two-rule stats: stochastic sample counts accumulate; deterministic
+    crystal/orientation counts are config constants (trace_backend.hpp:525-625).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ice_halo_sim_tpu.config.schema import (
+    CrystalConfig,
+    DistType,
+    NoneFilter,
+    ProjectConfig,
+    PrismShape,
+    PyramidShape,
+)
+from ice_halo_sim_tpu.core import color, geometry, latlut, optics, projection, rng, sampling, trace
+
+DEFAULT_BATCH = 1 << 17
+DEFAULT_GEOM_CLOCK = 32
+
+
+def largest_remainder_partition(total: int, proportions) -> list:
+    """Exact integer split of `total` by proportions (PartitionCrystalRayNum,
+    simulator.cpp:519-582, without the cross-batch carry — the split is
+    identical every batch, so remainders never accumulate)."""
+    props = np.maximum(np.asarray(proportions, np.float64), 0.0)
+    s = props.sum()
+    if s <= 0 or total == 0:
+        return [0] * len(props)
+    ideal = props / s * total
+    alloc = np.floor(ideal).astype(np.int64)
+    deficit = total - alloc.sum()
+    order = np.argsort(-(ideal - alloc))
+    for i in range(int(deficit)):
+        alloc[order[i % len(props)]] += 1
+    return [int(x) for x in alloc]
+
+
+class LayerPlan(NamedTuple):
+    """Static per-layer plan (host-side)."""
+
+    prob: float
+    n_settings: int
+    setting_idx: np.ndarray      # [B_layer] lane -> setting
+    shape_base: np.ndarray       # [B_layer] lane -> pool slot base (shape idx)
+    setting_counts: list         # rays per setting
+    k_per_setting: list          # shapes per setting in the pool
+    axis_params: sampling.AxisParams
+    shape_kinds: list            # "prism" | "pyramid" per setting
+    shape_param_arrays: list     # per setting: dict of distribution params
+    deterministic_shape: list    # per setting bool
+    deterministic_axis: list     # per setting bool
+    filter_ids: list             # per setting filter id (0 = none)
+    crystal_ids: list            # per setting user crystal id
+    cont_cap: int                # continuation buffer size feeding THIS layer
+
+
+class Stats(NamedTuple):
+    rays_traced: int = 0
+    landed_weight: float = 0.0
+    dropped_cont_weight: float = 0.0
+    stochastic_crystal_samples: int = 0
+    stochastic_orientation_samples: int = 0
+    deterministic_crystal_count: int = 0
+    deterministic_orientation_count: int = 0
+
+
+def _dist_params(d) -> tuple:
+    return (int(d.type), float(d.center), float(d.spread))
+
+
+def _sample_shape_scalars(seed, k_idx, slot0, dist_tuple):
+    dtype, center, spread = dist_tuple
+    v = rng.sample_dist(seed, k_idx, slot0, dtype, center, spread)
+    return v
+
+
+class Engine:
+    """Host-facing renderer: commit a config, pump batches, snapshot images.
+
+    Single-chip by default; the sharded multi-chip path lives in
+    ice_halo_sim_tpu.parallel (same step function under shard_map).
+    """
+
+    def __init__(self, cfg: ProjectConfig, seed: int = 1, batch_size: int = DEFAULT_BATCH,
+                 geom_clock: int = DEFAULT_GEOM_CLOCK):
+        self.cfg = cfg
+        self.seed = int(seed) & 0xFFFFFFFF
+        self.batch_size = int(batch_size)
+        self.geom_clock = int(geom_clock)
+        self._build_plan()
+        self._build_wavelengths()
+        self._build_renders()
+        self.reset()
+        self._step = jax.jit(
+            self._step_impl,
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    # Plan building (host)
+    # ------------------------------------------------------------------
+
+    def _build_plan(self) -> None:
+        cfg = self.cfg
+        self.max_hits = int(cfg.scene.max_hits)
+        layers = []
+        b_prev = self.batch_size
+        det_crystals = 0
+        det_orients = 0
+        for li, ms in enumerate(cfg.scene.layers):
+            settings = ms.entries
+            if li == 0:
+                b_layer = self.batch_size
+            else:
+                # Continuation capacity: expected continuations with slack,
+                # clamped by the hard max (AllocateAllData, simulator.cpp:498-516).
+                p_prev = cfg.scene.layers[li - 1].prob
+                expect = b_prev * min(1.5 * p_prev * 3.0, float(self.max_hits))
+                b_layer = int(min(max(expect, 1024), b_prev * self.max_hits))
+                b_layer = -(-b_layer // 256) * 256  # pad to lane multiple
+            counts = largest_remainder_partition(
+                b_layer, [e.proportion for e in settings]
+            )
+            setting_idx = np.repeat(np.arange(len(settings), dtype=np.int32), counts)
+            k_per = [max(1, -(-c // self.geom_clock)) for c in counts]
+            shape_base = np.zeros(b_layer, np.int32)
+            pos = 0
+            k_off = 0
+            for s, c in enumerate(counts):
+                lanes = np.arange(c)
+                shape_base[pos : pos + c] = k_off + np.minimum(lanes // self.geom_clock, k_per[s] - 1)
+                pos += c
+                k_off += k_per[s]
+            axes = []
+            shape_kinds = []
+            shape_params = []
+            det_shape = []
+            det_axis = []
+            filter_ids = []
+            crystal_ids = []
+            for e in settings:
+                crystal: CrystalConfig = cfg.crystals[e.crystal_id]
+                axes.append(crystal.axis)
+                det_axis.append(crystal.axis.is_deterministic())
+                if crystal.axis.is_deterministic():
+                    det_orients += 1
+                shape = crystal.shape
+                det_shape.append(shape.is_deterministic())
+                if shape.is_deterministic():
+                    det_crystals += 1
+                if isinstance(shape, PrismShape):
+                    shape_kinds.append("prism")
+                    shape_params.append(
+                        {
+                            "h": _dist_params(shape.height),
+                            "d": [_dist_params(x) for x in shape.face_distance],
+                        }
+                    )
+                elif isinstance(shape, PyramidShape):
+                    shape_kinds.append("pyramid")
+                    shape_params.append(
+                        {
+                            "u": _dist_params(shape.upper_h),
+                            "p": _dist_params(shape.prism_h),
+                            "l": _dist_params(shape.lower_h),
+                            "au": float(shape.wedge_angle_u),
+                            "al": float(shape.wedge_angle_l),
+                            "d": [_dist_params(x) for x in shape.face_distance],
+                        }
+                    )
+                else:
+                    raise ValueError(f"unsupported shape {type(shape)}")
+                filter_ids.append(e.filter_id)
+                crystal_ids.append(e.crystal_id)
+                if e.filter_id != 0:
+                    fparam = cfg.filters[e.filter_id].param
+                    if not isinstance(fparam, NoneFilter):
+                        raise NotImplementedError(
+                            "filters beyond 'none' land with the filter milestone"
+                        )
+            luts = [latlut.build_lat_lut(a.latitude) for a in axes]
+            layers.append(
+                LayerPlan(
+                    prob=float(ms.prob),
+                    n_settings=len(settings),
+                    setting_idx=setting_idx,
+                    shape_base=shape_base,
+                    setting_counts=counts,
+                    k_per_setting=k_per,
+                    axis_params=sampling.make_axis_params(axes, luts),
+                    shape_kinds=shape_kinds,
+                    shape_param_arrays=shape_params,
+                    deterministic_shape=det_shape,
+                    deterministic_axis=det_axis,
+                    filter_ids=filter_ids,
+                    crystal_ids=crystal_ids,
+                    cont_cap=b_layer,
+                )
+            )
+            b_prev = b_layer
+        self.layers = layers
+        self.det_crystal_count = det_crystals
+        self.det_orientation_count = det_orients
+        if any(k == "pyramid" for l in layers for k in l.shape_kinds):
+            raise NotImplementedError("pyramid geometry lands next milestone")
+
+    def _build_wavelengths(self) -> None:
+        light = self.cfg.light
+        if light.illuminant is not None:
+            self.wl_mode = "illuminant"
+            self.wl_table = None
+            self.wl_weights = None
+            self.illuminant = light.illuminant
+        else:
+            self.wl_mode = "discrete"
+            self.wl_table = jnp.asarray([w.wl for w in light.spectrum], jnp.float32)
+            self.wl_weights = jnp.asarray([w.weight for w in light.spectrum], jnp.float32)
+
+    def _build_renders(self) -> None:
+        self.proj_plans = [projection.make_proj_plan(r) for r in self.cfg.renders]
+
+    def reset(self) -> None:
+        self.accum = tuple(
+            jnp.zeros((p.height * p.width, 3), jnp.float32) for p in self.proj_plans
+        ) + (jnp.zeros((len(self.proj_plans),), jnp.float32),)  # landed weights
+        self.stats = Stats(
+            deterministic_crystal_count=self.det_crystal_count,
+            deterministic_orientation_count=self.det_orientation_count,
+        )
+        self.batch_counter = 0
+
+    # ------------------------------------------------------------------
+    # Device step
+    # ------------------------------------------------------------------
+
+    def _sample_layer_pool(self, li: int, plan: LayerPlan, batch_counter):
+        """Sample the layer's K-shape geometry pool (inside jit)."""
+        seed = jnp.uint32(self.seed) ^ rng.NONCE_GEOM_SHAPE ^ jnp.uint32(li * 0x9E37)
+        geoms = []
+        k_total = sum(plan.k_per_setting)
+        k_off = 0
+        for s, kind in enumerate(plan.shape_kinds):
+            k = plan.k_per_setting[s]
+            k_idx = (batch_counter * jnp.uint32(k_total) + jnp.uint32(k_off)
+                     + jnp.arange(k, dtype=jnp.uint32))
+            sp = plan.shape_param_arrays[s]
+            if kind == "prism":
+                h = jnp.abs(_sample_shape_scalars(seed, k_idx, 0, sp["h"]))
+                dists = jnp.stack(
+                    [_sample_shape_scalars(seed, k_idx, 2 + 2 * i, sp["d"][i]) for i in range(6)],
+                    axis=-1,
+                )
+                geoms.append(geometry.prism_geom_batch(h, dists))
+            else:  # pragma: no cover - gated in _build_plan
+                raise NotImplementedError
+            k_off += k
+        g = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *geoms) if len(geoms) > 1 else geoms[0]
+        tris = jax.vmap(sampling.build_entry_tris)(g)
+        return trace.make_geom_pool(g, tris)
+
+    def _wavelength_draw(self, lane_idx):
+        """Per-ray wavelength + weight (the GPU per-ray wl-pool formulation)."""
+        if self.wl_mode == "discrete":
+            n_wl = self.wl_table.shape[0]
+            wl_idx = (lane_idx % jnp.uint32(n_wl)).astype(jnp.int32)
+            wl = self.wl_table[wl_idx]
+            w0 = self.wl_weights[wl_idx]
+        else:
+            seed = jnp.uint32(self.seed) ^ rng.NONCE_WL
+            u = rng.uniform(seed, lane_idx, 0)
+            wl = 380.0 + u * 400.0
+            w0 = color.illuminant_spd(self.illuminant, wl)
+        return wl, w0
+
+    def _step_impl(self, accum, batch_base, batch_counter):
+        """One full batch: sample -> trace all layers -> project -> accumulate.
+
+        accum: tuple of per-render [H*W, 3] XYZ + [R] landed weights (donated).
+        """
+        B = self.batch_size
+        lane = jnp.arange(B, dtype=jnp.uint32)
+        ray_idx = batch_base + lane
+        seed0 = jnp.uint32(self.seed)
+
+        wl, w0 = self._wavelength_draw(ray_idx)
+        n_ior = optics.ice_refractive_index(wl)
+        cmf = color.cmf_lookup(wl)  # [B, 3]
+
+        d_world = sampling.sample_sun_dirs(
+            seed0 ^ rng.NONCE_SUN, ray_idx,
+            self.cfg.light.sun.azimuth, self.cfg.light.sun.altitude,
+            self.cfg.light.sun.diameter,
+        )
+
+        xyz_acc = list(accum[:-1])
+        landed = accum[-1]
+        dropped_w = jnp.float32(0.0)
+
+        n_layers = len(self.layers)
+        for li, plan in enumerate(self.layers):
+            b_layer = len(plan.setting_idx)
+            layer_seed = seed0 ^ jnp.uint32(0xA5A5 * (li + 1))
+            setting_idx = jnp.asarray(plan.setting_idx)
+            shape_idx = jnp.asarray(plan.shape_base)
+            pool = self._sample_layer_pool(li, plan, batch_counter)
+
+            if li > 0:
+                # d_world/w0/wl arrive from the continuation buffer (below).
+                d_world, w0, wl, ray_idx = cont
+                n_ior = optics.ice_refractive_index(wl)
+                cmf = color.cmf_lookup(wl)
+
+            lon, lat, roll = sampling.sample_lat_lon_roll(
+                layer_seed ^ rng.NONCE_ORIENT, ray_idx, plan.axis_params, setting_idx
+            )
+            rot = sampling.build_rotation(lon, lat, roll)
+
+            exits = trace.trace_layer(
+                layer_seed, ray_idx, d_world, w0, rot, shape_idx, pool, n_ior, self.max_hits
+            )
+
+            H = self.max_hits
+            exit_w = exits.w                                  # [B_l, H]
+            exit_d = exits.d_world                            # [B_l, H, 3]
+
+            # Probability gate per exit slot (stream: ray idx, slot 100 + h).
+            gate_seed = layer_seed ^ rng.NONCE_GATE
+            slot_ids = jnp.arange(H, dtype=jnp.uint32)[None, :]
+            u = rng.uniform(gate_seed, ray_idx[:, None], jnp.uint32(100) + slot_ids)  # [B_l, H]
+            is_last = li == n_layers - 1
+            if plan.prob > 0.0 and not is_last:
+                to_continue = (u < plan.prob) & (exit_w > 0.0)
+                acc_mask = ~to_continue
+            elif plan.prob > 0.0 and is_last:
+                to_continue = jnp.zeros_like(exit_w, bool)
+                acc_mask = u >= plan.prob  # would-continue rays are dropped
+            else:
+                to_continue = jnp.zeros_like(exit_w, bool)
+                acc_mask = jnp.ones_like(exit_w, bool)
+
+            acc_w = jnp.where(acc_mask, exit_w, 0.0)          # [B_l, H]
+            flat_w = acc_w.reshape(-1)
+            flat_d = exit_d.reshape(-1, 3)
+            flat_xyz = (cmf[:, None, :] * acc_w[..., None]).reshape(-1, 3)
+
+            for r, pplan in enumerate(self.proj_plans):
+                hits = projection.project(pplan, flat_d)
+                main_ok = (hits.main >= 0) & (flat_w > 0.0)
+                pix = jnp.where(main_ok, hits.main, 0)
+                contrib = jnp.where(main_ok[:, None], flat_xyz, 0.0)
+                xyz_acc[r] = xyz_acc[r].at[pix].add(contrib, mode="drop")
+                landed = landed.at[r].add(jnp.sum(jnp.where(main_ok, flat_w, 0.0)))
+                ov_ok = (hits.overlap >= 0) & (flat_w > 0.0)
+                ov_pix = jnp.where(ov_ok, hits.overlap, 0)
+                ov_contrib = jnp.where(ov_ok[:, None], flat_xyz, 0.0)
+                xyz_acc[r] = xyz_acc[r].at[ov_pix].add(ov_contrib, mode="drop")
+                # Overlap writes do NOT enter landed weight (render.cpp:376-390).
+
+            if not is_last:
+                next_plan = self.layers[li + 1]
+                cap = next_plan.cont_cap
+                cont_w_all = jnp.where(to_continue, exit_w, 0.0).reshape(-1)
+                cont_mask = cont_w_all > 0.0
+                # Stable compaction: continuing candidates first.
+                order = jnp.argsort(~cont_mask, stable=True)
+                sel = order[:cap]
+                sel_ok = cont_mask[sel]
+                # Feistel shuffle of destination lanes decorrelates the
+                # ray -> crystal pairing in the next layer.
+                dest = rng.feistel_bijection(
+                    jnp.arange(cap, dtype=jnp.uint32), cap, layer_seed ^ rng.NONCE_SHUFFLE
+                )
+                inv = jnp.zeros(cap, jnp.int32).at[dest].set(jnp.arange(cap, dtype=jnp.int32))
+                sel = sel[inv]
+                sel_ok = sel_ok[inv]
+                ray_of = sel // H
+                cont_d = jnp.where(sel_ok[:, None], exit_d.reshape(-1, 3)[sel], 0.0)
+                cont_wv = jnp.where(sel_ok, cont_w_all[sel], 0.0)
+                cont_wl = wl[ray_of]
+                dropped_w = dropped_w + jnp.sum(cont_w_all) - jnp.sum(cont_wv)
+                next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
+                cont = (cont_d, cont_wv, cont_wl, next_ray_idx)
+
+        new_accum = tuple(xyz_acc) + (landed,)
+        return new_accum, dropped_w
+
+    # ------------------------------------------------------------------
+    # Host loop
+    # ------------------------------------------------------------------
+
+    def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:
+        if n_batches is None:
+            total = total_rays if total_rays is not None else self.cfg.scene.ray_num
+            n_batches = max(1, -(-int(total) // self.batch_size))
+        for _ in range(n_batches):
+            base = (self.batch_counter * self.batch_size * max(1, len(self.layers) + 1))
+            self.accum, dropped = self._step(
+                self.accum,
+                jnp.uint32(base & 0xFFFFFFFF),
+                jnp.uint32(self.batch_counter),
+            )
+            self.batch_counter += 1
+            self.stats = self.stats._replace(
+                rays_traced=self.stats.rays_traced + self.batch_size,
+                dropped_cont_weight=self.stats.dropped_cont_weight + float(dropped),
+                stochastic_crystal_samples=self.stats.stochastic_crystal_samples
+                + sum(
+                    k
+                    for plan in self.layers
+                    for k, det in zip(plan.k_per_setting, plan.deterministic_shape)
+                    if not det
+                ),
+                stochastic_orientation_samples=self.stats.stochastic_orientation_samples
+                + sum(
+                    c
+                    for plan in self.layers
+                    for c, det in zip(plan.setting_counts, plan.deterministic_axis)
+                    if not det
+                ),
+            )
+        return self.stats
+
+    def snapshot(self):
+        """Render current accumulators to uint8 sRGB images (one per render).
+
+        Mirrors PrepareSnapshot + PostSnapshot (render.cpp:465-578)."""
+        images = []
+        landed = np.asarray(self.accum[-1])
+        for r, (pplan, rcfg) in enumerate(zip(self.proj_plans, self.cfg.renders)):
+            xyz = np.asarray(self.accum[r]).reshape(pplan.height, pplan.width, 3)
+            use_real = rcfg.ray_color[0] < 0
+            img = color.post_process(
+                jnp.asarray(xyz),
+                rcfg.intensity_factor,
+                float(landed[r]),
+                rcfg.background,
+                rcfg.ray_color,
+                use_real_color=use_real,
+            )
+            images.append(np.asarray(img))
+        return images
+
+    def raw_xyz(self, render_idx: int = 0) -> np.ndarray:
+        p = self.proj_plans[render_idx]
+        return np.asarray(self.accum[render_idx]).reshape(p.height, p.width, 3)
