@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: light single-scattering scene, steady-state rays/s on one chip.
+
+Mirrors the reference's canonical `bench_light_single_ms` scene (single
+hexagonal prism, full random orientation, D65 spectrum, rectangular
+2048x1024, max_hits 8 — examples/bench_config.json) and its measurement
+discipline (steady-rate window excluding compile/warm-up,
+doc/performance-testing.md:76-170).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+vs_baseline is against the reference's legacy CPU backend on this scene:
+10.45 M rays/s (doc/performance-testing.md:403-405).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_CPU_RAYS_PER_SEC = 10.45e6
+
+BENCH_CFG = {
+    "crystal": [
+        {
+            "id": 1,
+            "type": "prism",
+            "shape": {"height": 1.0},
+            "axis": {
+                "zenith": {"type": "uniform", "mean": 0.0, "std": 360.0},
+                "azimuth": {"type": "uniform", "mean": 0.0, "std": 360.0},
+                "roll": {"type": "uniform", "mean": 0.0, "std": 360.0},
+            },
+        }
+    ],
+    "filter": [],
+    "scene": {
+        "light_source": {
+            "type": "sun", "altitude": 20.0, "azimuth": 0.0, "diameter": 0.5,
+            "spectrum": "D65",
+        },
+        "ray_num": 10000000,
+        "max_hits": 8,
+        "scattering": [{"prob": 0.0, "entries": [{"crystal": 1, "proportion": 100.0}]}],
+    },
+    "render": [
+        {
+            "id": 1,
+            "lens": {"type": "rectangular", "fov": 180.0},
+            "resolution": [2048, 1024],
+            "view": {"azimuth": 0.0, "elevation": 0.0, "roll": 0.0},
+            "visible": "full",
+        }
+    ],
+}
+
+
+def main() -> int:
+    import jax
+
+    # Persistent compile cache keeps re-runs warm.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/iht_jax_cache"))
+
+    from ice_halo_sim_tpu.config.loader import load_project
+    from ice_halo_sim_tpu.engine.simulator import Engine
+
+    platform = jax.devices()[0].platform
+    batch = 1 << 20 if platform != "cpu" else 1 << 17
+    cfg = load_project(BENCH_CFG)
+    engine = Engine(cfg, seed=7, batch_size=batch)
+
+    # Warm-up: compile + first execution.
+    engine.run(n_batches=1)
+    jax.block_until_ready(engine.accum)
+
+    # Steady-state window: at least ~5 s or 48 batches, whichever first hits.
+    t0 = time.time()
+    batches = 0
+    while batches < 48 and (time.time() - t0) < 8.0:
+        engine.run(n_batches=4)
+        jax.block_until_ready(engine.accum)
+        batches += 4
+    dt = time.time() - t0
+    rays = batches * batch
+    value = rays / dt
+
+    print(json.dumps({
+        "metric": "light_single_ms_rays_per_sec_per_chip",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / BASELINE_CPU_RAYS_PER_SEC,
+        "rays": rays,
+        "seconds": round(dt, 3),
+        "batch_size": batch,
+        "resolution": [2048, 1024],
+        "platform": platform,
+        "max_hits": 8,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

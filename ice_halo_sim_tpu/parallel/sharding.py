@@ -1,0 +1,133 @@
+"""Multi-chip execution: rays sharded over a device mesh.
+
+The reference is single-node (SURVEY §2.9): its only parallel dimensions are
+data-parallel rays across worker threads and a single-GPU megakernel. The
+TPU-native mapping is a 1-D `rays` mesh axis: every chip runs the SAME fused
+batch step on its own ray shard with its own device-resident XYZ accumulator
+(no atomics, no cross-chip traffic during tracing — rays are embarrassingly
+parallel), and accumulators are reduced across chips only at drain time
+(psum over ICI), the reference's third-clock drain cadence applied to a mesh.
+
+RNG correctness across shards follows the reference's counter-based design:
+each device offsets its global ray indices by `axis_index * shard_span`, so
+streams never collide (the SplitPcgRayBase lesson, trace_backend.hpp:160-190).
+
+There is deliberately no TP/PP/EP here — a Monte-Carlo renderer has no
+parameter or layer dimension to shard; faking one would add collectives to a
+workload whose scaling law is embarrassingly parallel (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ice_halo_sim_tpu.config.schema import ProjectConfig
+from ice_halo_sim_tpu.engine.simulator import DEFAULT_GEOM_CLOCK, Engine
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("rays",))
+
+
+class ShardedEngine:
+    """Data-parallel engine: per-device batches + psum-at-drain accumulators."""
+
+    def __init__(self, cfg: ProjectConfig, mesh: Optional[Mesh] = None, seed: int = 1,
+                 per_device_batch: int = 1 << 17, geom_clock: int = DEFAULT_GEOM_CLOCK):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.devices.size
+        # The inner engine is sized per device; its jitted step becomes the
+        # shard_map body.
+        self.engine = Engine(cfg, seed=seed, batch_size=per_device_batch,
+                             geom_clock=geom_clock)
+        self.cfg = cfg
+        self.per_device_batch = per_device_batch
+        self.batch_counter = 0
+        # Global ray-index span one device consumes per batch (engine.run uses
+        # B * (n_layers + 1) slots per batch for layer-continuation streams).
+        self.span = per_device_batch * (len(self.engine.layers) + 1)
+
+        n_dev = self.n_dev
+        span = self.span
+
+        def sharded_step(accum, batch_base, batch_counter):
+            dev = jax.lax.axis_index("rays").astype(jnp.uint32)
+            local_base = batch_base + dev * jnp.uint32(span)
+            local_accum = jax.tree.map(lambda a: a[0], accum)
+            new_accum, dropped = self.engine._step_impl(local_accum, local_base, batch_counter)
+            return (
+                jax.tree.map(lambda a: a[None], new_accum),
+                jax.lax.psum(dropped, "rays"),
+            )
+
+        acc_specs = tuple(P("rays") for _ in self.engine.accum)
+        self._step = jax.jit(
+            jax.shard_map(
+                sharded_step,
+                mesh=self.mesh,
+                in_specs=(acc_specs, P(), P()),
+                out_specs=(acc_specs, P()),
+            ),
+            donate_argnums=(0,),
+        )
+
+        def drain(accum):
+            return jax.tree.map(lambda a: jnp.sum(a, axis=0), accum)
+
+        self._drain = jax.jit(drain)
+        self.reset()
+
+    def reset(self) -> None:
+        shard = NamedSharding(self.mesh, P("rays"))
+        self.accum = tuple(
+            jax.device_put(
+                jnp.zeros((self.n_dev,) + a.shape, a.dtype), shard
+            )
+            for a in self.engine.accum
+        )
+        self.batch_counter = 0
+        self.dropped_weight = 0.0
+
+    def run(self, n_batches: int = 1):
+        for _ in range(n_batches):
+            base = jnp.uint32((self.batch_counter * self.n_dev * self.span) & 0xFFFFFFFF)
+            self.accum, dropped = self._step(self.accum, base, jnp.uint32(self.batch_counter))
+            self.batch_counter += 1
+        self.dropped_weight += float(dropped)
+        return self
+
+    @property
+    def rays_traced(self) -> int:
+        return self.batch_counter * self.n_dev * self.per_device_batch
+
+    def drained_accum(self):
+        """Cross-chip reduced accumulators (ICI psum at drain cadence)."""
+        return self._drain(self.accum)
+
+    def raw_xyz(self, render_idx: int = 0) -> np.ndarray:
+        drained = self.drained_accum()
+        p = self.engine.proj_plans[render_idx]
+        return np.asarray(drained[render_idx]).reshape(p.height, p.width, 3)
+
+    def snapshot(self):
+        from ice_halo_sim_tpu.core import color
+
+        drained = self.drained_accum()
+        landed = np.asarray(drained[-1])
+        images = []
+        for r, (pplan, rcfg) in enumerate(zip(self.engine.proj_plans, self.cfg.renders)):
+            xyz = np.asarray(drained[r]).reshape(pplan.height, pplan.width, 3)
+            img = color.post_process(
+                jnp.asarray(xyz), rcfg.intensity_factor, float(landed[r]),
+                rcfg.background, rcfg.ray_color,
+                use_real_color=rcfg.ray_color[0] < 0,
+            )
+            images.append(np.asarray(img))
+        return images

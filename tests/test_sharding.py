@@ -1,0 +1,64 @@
+"""Sharding tests: the multi-device path must equal per-device independent runs.
+
+Multi-device JAX requires the XLA device-count flag to be set before jaxlib
+loads; the session's sitecustomize preloads jax, so these tests run the
+sharded path in a subprocess with a scrubbed environment (see conftest)."""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+from tests.conftest import clean_jax_env
+
+SCRIPT = textwrap.dedent(
+    """
+    import os, json
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.test_e2e import SMOKE_CFG
+    from ice_halo_sim_tpu.config.loader import load_project
+    from ice_halo_sim_tpu.engine.simulator import Engine
+    from ice_halo_sim_tpu.parallel.sharding import ShardedEngine, make_mesh
+
+    assert len(jax.devices()) == 8, jax.devices()
+    cfg = load_project(SMOKE_CFG)
+    B = 4096
+    se = ShardedEngine(cfg, make_mesh(), seed=9, per_device_batch=B)
+    se.run(n_batches=2)
+    xyz_sharded = se.raw_xyz(0)
+
+    # Oracle: one single-device engine consuming the same global index space.
+    e = Engine(cfg, seed=9, batch_size=B)
+    accum = e.accum
+    span = B * (len(e.layers) + 1)
+    for counter in range(2):
+        for dev in range(8):
+            base = (counter * 8 * span + dev * span) & 0xFFFFFFFF
+            accum, _ = e._step(accum, np.uint32(base), np.uint32(counter))
+    p = e.proj_plans[0]
+    xyz_ref = np.asarray(accum[0]).reshape(p.height, p.width, 3)
+
+    assert np.allclose(xyz_sharded, xyz_ref, rtol=1e-4, atol=1e-3), (
+        float(np.abs(xyz_sharded - xyz_ref).max()))
+    assert xyz_sharded.sum() > 0
+    print(json.dumps({"ok": True, "total": float(xyz_sharded.sum()),
+                      "rays": se.rays_traced}))
+    """
+)
+
+
+def test_sharded_equals_sequential():
+    env = clean_jax_env(8)
+    env["IHT_TEST_REEXEC"] = "1"
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, env=env,
+        timeout=900, cwd="/root/repo",
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["ok"] and result["rays"] == 2 * 8 * 4096
