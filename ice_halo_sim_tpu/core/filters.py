@@ -1,0 +1,342 @@
+"""Ray-path filters with P/B/D crystal-symmetry folding, vectorized.
+
+Mirrors the reference's filter system exactly:
+  - canonicalization (ReduceBuffer): P prism-rotation shift, D sigma-mirror,
+    B basal mirror, each keeping the lexicographically smaller form
+    (/root/reference/src/core/shared/filter_shared.h:55-135, byte-identical
+    semantics in vectorized form).
+  - filter types none / raypath / entry_exit / direction / crystal / complex
+    (OR-of-AND) with the action XOR (filter_spec.hpp:42-45).
+  - D applicability: azimuth full-360 uniform AND roll mean at a multiple of
+    30 deg; sigma_a = (6 - ((round(roll_mean/30) % 6 + 6) % 6)) % 6
+    (crystal.hpp:357-366).
+
+The device side operates on padded int32 face-number paths [N, L] with
+per-row lengths; the host side canonicalizes each filter's configured
+raypath once at plan-build time (FilterSpec::Create, filter_spec.cpp:335).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ice_halo_sim_tpu.config.schema import (
+    AxisDistribution,
+    ComplexFilter,
+    CrystalFilter,
+    DirectionFilter,
+    DistType,
+    EntryExitFilter,
+    FilterAction,
+    FilterConfig,
+    NoneFilter,
+    RaypathFilter,
+    Symmetry,
+)
+
+FN_PERIOD = 6  # hexagonal family
+
+
+# --------------------------------------------------------------------------
+# D-symmetry applicability (crystal.hpp detail helpers)
+# --------------------------------------------------------------------------
+
+def is_roll_mean_multiple_of_30(roll_center_deg: float) -> bool:
+    r = roll_center_deg / 30.0
+    return abs(r - round(r)) < 1e-4
+
+
+def compute_sigma_a(roll_mean_deg: float) -> int:
+    n = (int(round(roll_mean_deg / 30.0)) % 6 + 6) % 6
+    return (6 - n) % 6
+
+
+def is_d_applicable(axis: AxisDistribution) -> bool:
+    return axis.is_az_rotationally_symmetric() and is_roll_mean_multiple_of_30(axis.roll.center)
+
+
+# --------------------------------------------------------------------------
+# Host-side scalar canonicalization (for filter-config raypaths)
+# --------------------------------------------------------------------------
+
+def _p_shift_list(seq: List[int]) -> List[int]:
+    out = list(seq)
+    first_pri = None
+    for i, x in enumerate(out):
+        if x < 3:
+            continue
+        pyr, pri = divmod(x, 10)
+        if first_pri is None:
+            first_pri = pri
+        pri = (pri + FN_PERIOD - first_pri) % FN_PERIOD + 3
+        out[i] = pyr * 10 + pri
+    return out
+
+
+def _d_mirror_list(seq: List[int], sigma_a: int) -> List[int]:
+    out = []
+    for x in seq:
+        if x < 3:
+            out.append(x)
+            continue
+        pyr, pri = divmod(x, 10)
+        new_pri0 = ((sigma_a - (pri - 3)) % FN_PERIOD + FN_PERIOD) % FN_PERIOD
+        out.append(pyr * 10 + new_pri0 + 3)
+    return out
+
+
+def _b_mirror_list(seq: List[int]) -> Tuple[List[int], bool]:
+    out = []
+    changed = False
+    for x in seq:
+        if x <= 2:
+            out.append(3 - x)
+            changed = True
+        elif 13 <= x <= 18:
+            out.append(x + 10)
+            changed = True
+        elif 23 <= x <= 28:
+            out.append(x - 10)
+            changed = True
+        else:
+            out.append(x)
+    return out, changed
+
+
+def reduce_raypath(seq, symmetry: Symmetry, sigma_a: int = 0, d_applicable: bool = False) -> List[int]:
+    """Scalar ReduceBuffer (filter_shared.h:81-135)."""
+    data = list(int(x) for x in seq)
+    if symmetry == Symmetry.NONE:
+        return data
+    if symmetry & Symmetry.P:
+        data = _p_shift_list(data)
+    if (symmetry & Symmetry.D) and d_applicable:
+        scratch = _d_mirror_list(data, sigma_a)
+        if symmetry & Symmetry.P:
+            scratch = _p_shift_list(scratch)
+        if scratch < data:
+            data = scratch
+    if symmetry & Symmetry.B:
+        scratch, changed = _b_mirror_list(data)
+        if changed and scratch < data:
+            data = scratch
+    return data
+
+
+# --------------------------------------------------------------------------
+# Vectorized canonicalization over padded [N, L] paths
+# --------------------------------------------------------------------------
+
+def _p_shift(paths, valid):
+    is_pri = (paths >= 3) & valid
+    has_pri = jnp.any(is_pri, axis=-1)
+    first_idx = jnp.argmax(is_pri, axis=-1)
+    first_val = jnp.take_along_axis(paths, first_idx[..., None], axis=-1)[..., 0]
+    first_pri = jnp.where(has_pri, first_val % 10, 0)
+    pyr = paths // 10
+    pri = paths % 10
+    new_pri = (pri + FN_PERIOD - first_pri[..., None]) % FN_PERIOD + 3
+    return jnp.where(is_pri, pyr * 10 + new_pri, paths)
+
+
+def _d_mirror(paths, valid, sigma_a):
+    is_pri = (paths >= 3) & valid
+    pyr = paths // 10
+    pri0 = paths % 10 - 3
+    new_pri0 = (sigma_a - pri0) % FN_PERIOD
+    return jnp.where(is_pri, pyr * 10 + new_pri0 + 3, paths)
+
+
+def _b_mirror(paths, valid):
+    basal = (paths <= 2) & valid
+    upper = (paths >= 13) & (paths <= 18) & valid
+    lower = (paths >= 23) & (paths <= 28) & valid
+    out = jnp.where(basal, 3 - paths, paths)
+    out = jnp.where(upper, paths + 10, out)
+    out = jnp.where(lower, paths - 10, out)
+    changed = jnp.any(basal | upper | lower, axis=-1)
+    return out, changed
+
+
+def _lex_less(a, b, valid):
+    """a < b lexicographically over the valid prefix. [N] bool."""
+    diff = (a != b) & valid
+    any_diff = jnp.any(diff, axis=-1)
+    idx = jnp.argmax(diff, axis=-1)
+    av = jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+    bv = jnp.take_along_axis(b, idx[..., None], axis=-1)[..., 0]
+    return any_diff & (av < bv)
+
+
+def reduce_paths(paths, lens, symmetry: Symmetry, sigma_a: int, d_applicable: bool):
+    """Vectorized ReduceBuffer over [N, L] int32 face-number paths."""
+    L = paths.shape[-1]
+    valid = jnp.arange(L)[None, :] < lens[..., None]
+    data = jnp.where(valid, paths, 0)
+    if symmetry == Symmetry.NONE:
+        return data
+    if symmetry & Symmetry.P:
+        data = _p_shift(data, valid)
+    if (symmetry & Symmetry.D) and d_applicable:
+        scratch = _d_mirror(data, valid, sigma_a)
+        if symmetry & Symmetry.P:
+            scratch = _p_shift(scratch, valid)
+        take = _lex_less(scratch, data, valid)
+        data = jnp.where(take[..., None], scratch, data)
+    if symmetry & Symmetry.B:
+        scratch, changed = _b_mirror(data, valid)
+        take = changed & _lex_less(scratch, data, valid)
+        data = jnp.where(take[..., None], scratch, data)
+    return data
+
+
+# --------------------------------------------------------------------------
+# Filter plans (host-built static descriptors)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SimplePlan:
+    kind: str                      # none|raypath|entry_exit|direction|crystal
+    symmetry: Symmetry = Symmetry.NONE
+    sigma_a: int = 0
+    d_applicable: bool = False
+    canonical: tuple = ()          # canonicalized face numbers
+    min_len: int = 1
+    max_len: Optional[int] = None
+    has_entry: bool = False
+    has_exit: bool = False
+    dir_vec: tuple = (0.0, 0.0, 1.0)
+    radii_c: float = -2.0
+    crystal_match: bool = True     # resolved at build (setting crystal is static)
+
+
+@dataclass(frozen=True)
+class FilterPlan:
+    action: FilterAction
+    # OR-of-AND structure; simple filters are a single 1-clause entry.
+    clauses: tuple = ()            # tuple of tuples of SimplePlan
+
+
+def _build_simple(param, symmetry: Symmetry, sigma_a: int, d_applicable: bool,
+                  setting_crystal_id: int) -> SimplePlan:
+    if isinstance(param, NoneFilter):
+        return SimplePlan(kind="none")
+    if isinstance(param, RaypathFilter):
+        canon = reduce_raypath(param.raypath, symmetry, sigma_a, d_applicable)
+        return SimplePlan(kind="raypath", symmetry=symmetry, sigma_a=sigma_a,
+                          d_applicable=d_applicable, canonical=tuple(canon))
+    if isinstance(param, EntryExitFilter):
+        ends = []
+        if param.entry is not None:
+            ends.append(param.entry)
+        if param.exit is not None:
+            ends.append(param.exit)
+        canon = tuple(reduce_raypath(ends, symmetry, sigma_a, d_applicable)) if ends else ()
+        return SimplePlan(kind="entry_exit", symmetry=symmetry, sigma_a=sigma_a,
+                          d_applicable=d_applicable, canonical=canon,
+                          min_len=param.min_len, max_len=param.max_len,
+                          has_entry=param.entry is not None, has_exit=param.exit is not None)
+    if isinstance(param, DirectionFilter):
+        lat = math.radians(param.el)
+        lon = math.radians(param.az)
+        return SimplePlan(
+            kind="direction",
+            dir_vec=(math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat)),
+            radii_c=math.cos(math.radians(param.radii)),
+        )
+    if isinstance(param, CrystalFilter):
+        return SimplePlan(kind="crystal", crystal_match=(param.crystal_id == setting_crystal_id))
+    raise ValueError(f"unexpected simple filter {param!r}")
+
+
+def build_filter_plan(fcfg: FilterConfig, axis: AxisDistribution, all_filters: dict,
+                      setting_crystal_id: int) -> FilterPlan:
+    """FilterSpec::Create equivalent (filter_spec.cpp:373-380)."""
+    d_app = is_d_applicable(axis)
+    sigma_a = compute_sigma_a(axis.roll.center) if d_app else 0
+    if isinstance(fcfg.param, ComplexFilter):
+        clauses = []
+        for clause in fcfg.param.composition:
+            plans = []
+            for ref in clause:
+                sub = all_filters[ref]
+                # Sub-filter symmetry comes from the SUB filter config; action
+                # of sub-filters is ignored (only the complex's action applies).
+                plans.append(
+                    _build_simple(sub.param, sub.symmetry, sigma_a, d_app, setting_crystal_id)
+                )
+            clauses.append(tuple(plans))
+        return FilterPlan(action=fcfg.action, clauses=tuple(clauses))
+    simple = _build_simple(fcfg.param, fcfg.symmetry, sigma_a, d_app, setting_crystal_id)
+    return FilterPlan(action=fcfg.action, clauses=((simple,),))
+
+
+# --------------------------------------------------------------------------
+# Vectorized match
+# --------------------------------------------------------------------------
+
+def _match_simple(plan: SimplePlan, paths, lens, dirs):
+    n = paths.shape[0]
+    if plan.kind == "none":
+        return jnp.ones(n, bool)
+    if plan.kind == "crystal":
+        return jnp.full(n, plan.crystal_match)
+    if plan.kind == "direction":
+        d = jnp.asarray(plan.dir_vec, jnp.float32)
+        return jnp.sum(dirs * d[None, :], axis=-1) > plan.radii_c
+    if plan.kind == "raypath":
+        clen = len(plan.canonical)
+        L = paths.shape[-1]
+        if clen > L:
+            return jnp.zeros(n, bool)
+        reduced = reduce_paths(paths, lens, plan.symmetry, plan.sigma_a, plan.d_applicable)
+        canon = jnp.zeros(L, jnp.int32).at[:clen].set(jnp.asarray(plan.canonical, jnp.int32))
+        eq = jnp.all(jnp.where(jnp.arange(L)[None, :] < clen, reduced == canon[None, :], True), axis=-1)
+        return (lens == clen) & eq
+    if plan.kind == "entry_exit":
+        ok = (lens > 0) & (lens >= plan.min_len)
+        if plan.max_len is not None:
+            ok &= lens <= plan.max_len
+        if not (plan.has_entry or plan.has_exit):
+            return ok
+        first = paths[:, 0]
+        last = jnp.take_along_axis(paths, jnp.maximum(lens - 1, 0)[..., None], axis=-1)[..., 0]
+        if plan.has_entry and plan.has_exit:
+            ee = jnp.stack([first, last], axis=-1)
+        elif plan.has_entry:
+            ee = first[..., None]
+        else:
+            ee = last[..., None]
+        ee_len = jnp.full(ee.shape[0], ee.shape[-1], jnp.int32)
+        reduced = reduce_paths(ee, ee_len, plan.symmetry, plan.sigma_a, plan.d_applicable)
+        canon = jnp.asarray(plan.canonical, jnp.int32)
+        if canon.shape[0] != ee.shape[-1]:
+            return jnp.zeros(ee.shape[0], bool)
+        return ok & jnp.all(reduced == canon[None, :], axis=-1)
+    raise ValueError(plan.kind)
+
+
+def check_exits(plan: Optional[FilterPlan], paths, lens, dirs):
+    """Filter verdict per exit (Check = Match XOR filter_out).
+
+    paths: [N, L] int32 face numbers, lens: [N], dirs: [N, 3] world exit dirs.
+    plan None -> all pass. Empty complex matches nothing
+    (filter_shared.h:246-249 contract).
+    """
+    n = paths.shape[0]
+    if plan is None:
+        return jnp.ones(n, bool)
+    matched = jnp.zeros(n, bool)
+    for clause in plan.clauses:
+        and_ok = jnp.ones(n, bool)
+        for simple in clause:
+            and_ok &= _match_simple(simple, paths, lens, dirs)
+        matched |= and_ok
+    if plan.action == FilterAction.FILTER_OUT:
+        return ~matched
+    return matched

@@ -41,7 +41,17 @@ from ice_halo_sim_tpu.config.schema import (
     PrismShape,
     PyramidShape,
 )
-from ice_halo_sim_tpu.core import color, geometry, latlut, optics, projection, rng, sampling, trace
+from ice_halo_sim_tpu.core import (
+    color,
+    filters,
+    geometry,
+    latlut,
+    optics,
+    projection,
+    rng,
+    sampling,
+    trace,
+)
 
 DEFAULT_BATCH = 1 << 17
 DEFAULT_GEOM_CLOCK = 32
@@ -78,7 +88,7 @@ class LayerPlan(NamedTuple):
     shape_param_arrays: list     # per setting: dict of distribution params
     deterministic_shape: list    # per setting bool
     deterministic_axis: list     # per setting bool
-    filter_ids: list             # per setting filter id (0 = none)
+    filter_plans: list           # per setting Optional[filters.FilterPlan]
     crystal_ids: list            # per setting user crystal id
     cont_cap: int                # continuation buffer size feeding THIS layer
 
@@ -199,14 +209,15 @@ class Engine:
                     )
                 else:
                     raise ValueError(f"unsupported shape {type(shape)}")
-                filter_ids.append(e.filter_id)
                 crystal_ids.append(e.crystal_id)
                 if e.filter_id != 0:
-                    fparam = cfg.filters[e.filter_id].param
-                    if not isinstance(fparam, NoneFilter):
-                        raise NotImplementedError(
-                            "filters beyond 'none' land with the filter milestone"
+                    filter_ids.append(
+                        filters.build_filter_plan(
+                            cfg.filters[e.filter_id], crystal.axis, cfg.filters, e.crystal_id
                         )
+                    )
+                else:
+                    filter_ids.append(None)
             luts = [latlut.build_lat_lut(a.latitude) for a in axes]
             layers.append(
                 LayerPlan(
@@ -221,7 +232,7 @@ class Engine:
                     shape_param_arrays=shape_params,
                     deterministic_shape=det_shape,
                     deterministic_axis=det_axis,
-                    filter_ids=filter_ids,
+                    filter_plans=filter_ids,
                     crystal_ids=crystal_ids,
                     cont_cap=b_layer,
                 )
@@ -351,6 +362,26 @@ class Engine:
             H = self.max_hits
             exit_w = exits.w                                  # [B_l, H]
             exit_d = exits.d_world                            # [B_l, H, 3]
+
+            # Filter emit gate (Design A: the filter runs simulator-side and a
+            # failing exit neither accumulates nor continues,
+            # doc/filter-architecture.md / CollectData 1.3). Exit slot h has
+            # path prefix length h + 1, so the per-slot check reuses the
+            # shared path buffer with a constant length.
+            if any(fp is not None for fp in plan.filter_plans):
+                cols = []
+                for h in range(H):
+                    lens_h = exits.path_len[:, h]
+                    dirs_h = exit_d[:, h]
+                    per_setting = jnp.stack(
+                        [
+                            filters.check_exits(fp, exits.path, lens_h, dirs_h)
+                            for fp in plan.filter_plans
+                        ]
+                    )  # [S, B_l]
+                    cols.append(per_setting[setting_idx, jnp.arange(len(setting_idx))])
+                fmask = jnp.stack(cols, axis=1)               # [B_l, H]
+                exit_w = jnp.where(fmask, exit_w, 0.0)
 
             # Probability gate per exit slot (stream: ray idx, slot 100 + h).
             gate_seed = layer_seed ^ rng.NONCE_GATE
