@@ -236,6 +236,29 @@ def prism_geom(h: jnp.ndarray, dist: jnp.ndarray) -> CrystalGeom:
 prism_geom_batch = jax.vmap(prism_geom, in_axes=(0, 0))
 
 
+def pad_geom_faces(geom: CrystalGeom, nf: int) -> CrystalGeom:
+    """Pad the face dimension to `nf` slots (absent faces). Lets prism (8)
+    and pyramid (20) geometries share one pool layout."""
+    cur = geom.plane_n.shape[-2]
+    if cur == nf:
+        return geom
+    pad = nf - cur
+
+    def pad_axis(a, axis, fill=0):
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return CrystalGeom(
+        plane_n=pad_axis(geom.plane_n, -2),
+        plane_d=pad_axis(geom.plane_d, -1, fill=-1e6),  # inert: always satisfied
+        face_number=pad_axis(geom.face_number, -1),
+        face_present=pad_axis(geom.face_present, -1, fill=False),
+        face_vtx=pad_axis(geom.face_vtx, -3),
+        face_vtx_cnt=pad_axis(geom.face_vtx_cnt, -1),
+    )
+
+
 @jax.jit
 def polygon_areas(geom: CrystalGeom) -> jnp.ndarray:
     """Per-face polygon area via the fan-triangle cross products. [NF]."""

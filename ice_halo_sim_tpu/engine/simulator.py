@@ -241,8 +241,9 @@ class Engine:
         self.layers = layers
         self.det_crystal_count = det_crystals
         self.det_orientation_count = det_orients
-        if any(k == "pyramid" for l in layers for k in l.shape_kinds):
-            raise NotImplementedError("pyramid geometry lands next milestone")
+        # Unified face-slot count: pools concatenate across settings, so a
+        # mixed prism/pyramid layer pads prisms out to the 20-slot layout.
+        self.any_pyramid = any(k == "pyramid" for l in layers for k in l.shape_kinds)
 
     def _build_wavelengths(self) -> None:
         light = self.cfg.light
@@ -279,6 +280,9 @@ class Engine:
         geoms = []
         k_total = sum(plan.k_per_setting)
         k_off = 0
+        layer_nf = geometry.PYRAMID_FACES if any(
+            k == "pyramid" for k in plan.shape_kinds
+        ) else geometry.PRISM_FACES
         for s, kind in enumerate(plan.shape_kinds):
             k = plan.k_per_setting[s]
             k_idx = (batch_counter * jnp.uint32(k_total) + jnp.uint32(k_off)
@@ -290,9 +294,19 @@ class Engine:
                     [_sample_shape_scalars(seed, k_idx, 2 + 2 * i, sp["d"][i]) for i in range(6)],
                     axis=-1,
                 )
-                geoms.append(geometry.prism_geom_batch(h, dists))
-            else:  # pragma: no cover - gated in _build_plan
-                raise NotImplementedError
+                g = geometry.prism_geom_batch(h, dists)
+            else:
+                from ice_halo_sim_tpu.core import pyramid as pyramid_mod
+
+                h1 = jnp.abs(_sample_shape_scalars(seed, k_idx, 0, sp["u"]))
+                h2 = jnp.abs(_sample_shape_scalars(seed, k_idx, 2, sp["p"]))
+                h3 = jnp.abs(_sample_shape_scalars(seed, k_idx, 4, sp["l"]))
+                dists = jnp.stack(
+                    [_sample_shape_scalars(seed, k_idx, 6 + 2 * i, sp["d"][i]) for i in range(6)],
+                    axis=-1,
+                )
+                g = pyramid_mod.pyramid_geom_batch(h1, h2, h3, sp["au"], sp["al"], dists)
+            geoms.append(geometry.pad_geom_faces(g, layer_nf))
             k_off += k
         g = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *geoms) if len(geoms) > 1 else geoms[0]
         tris = jax.vmap(sampling.build_entry_tris)(g)
