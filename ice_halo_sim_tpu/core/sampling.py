@@ -60,22 +60,25 @@ class AxisParams(NamedTuple):
 
 
 def make_axis_params(axes, luts) -> AxisParams:
-    """Pack host AxisDistribution configs (+ prebuilt LatLuts) into arrays."""
+    """Pack host AxisDistribution configs (+ prebuilt LatLuts) into arrays.
+
+    Everything stays host-side numpy: the row sampler reads the path/type
+    fields as STATIC Python values while tracing (numpy indexing is concrete
+    under jit; jnp constants would become tracers)."""
     deg = np.pi / 180.0
-    lat_path = np.array([select_lat_path(a) for a in axes], np.int32)
     return AxisParams(
-        lat_path=jnp.asarray(lat_path),
-        lat_mean=jnp.asarray([a.latitude.center * deg for a in axes], jnp.float32),
-        lat_std=jnp.asarray([a.latitude.spread * deg for a in axes], jnp.float32),
-        az_type=jnp.asarray([int(a.azimuth.type) for a in axes], jnp.int32),
-        az_mean=jnp.asarray([a.azimuth.center * deg for a in axes], jnp.float32),
-        az_std=jnp.asarray([a.azimuth.spread * deg for a in axes], jnp.float32),
-        roll_type=jnp.asarray([int(a.roll.type) for a in axes], jnp.int32),
-        roll_mean=jnp.asarray([a.roll.center * deg for a in axes], jnp.float32),
-        roll_std=jnp.asarray([a.roll.spread * deg for a in axes], jnp.float32),
-        lut_theta=jnp.asarray(np.stack([l.theta for l in luts]), jnp.float32),
-        lut_cdf=jnp.asarray(np.stack([l.cdf for l in luts]), jnp.float32),
-        lut_flip=jnp.asarray(np.stack([l.flip_prob for l in luts]), jnp.float32),
+        lat_path=np.array([select_lat_path(a) for a in axes], np.int32),
+        lat_mean=np.asarray([a.latitude.center * deg for a in axes], np.float32),
+        lat_std=np.asarray([a.latitude.spread * deg for a in axes], np.float32),
+        az_type=np.asarray([int(a.azimuth.type) for a in axes], np.int32),
+        az_mean=np.asarray([a.azimuth.center * deg for a in axes], np.float32),
+        az_std=np.asarray([a.azimuth.spread * deg for a in axes], np.float32),
+        roll_type=np.asarray([int(a.roll.type) for a in axes], np.int32),
+        roll_mean=np.asarray([a.roll.center * deg for a in axes], np.float32),
+        roll_std=np.asarray([a.roll.spread * deg for a in axes], np.float32),
+        lut_theta=np.stack([l.theta for l in luts]).astype(np.float32),
+        lut_cdf=np.stack([l.cdf for l in luts]).astype(np.float32),
+        lut_flip=np.stack([l.flip_prob for l in luts]).astype(np.float32),
     )
 
 
@@ -110,17 +113,17 @@ def sample_sun_dirs(seed, idx, sun_azimuth_deg: float, sun_altitude_deg: float,
 
 
 def invert_lat_lut(xi, theta_nodes, cdf_nodes):
-    """Vectorized inverse-CDF lookup (pcg_shared.h:345-370).
+    """Inverse-CDF lookup (pcg_shared.h:345-370).
 
-    xi: [B]; theta_nodes/cdf_nodes: [B, N_NODES] per-ray gathered tables.
+    xi: [B]; theta_nodes/cdf_nodes: [N_NODES] shared tables (one axis
+    distribution per call — settings are processed as contiguous segments).
     """
-    xi = jnp.clip(xi, cdf_nodes[..., 0], cdf_nodes[..., -1])
-    lo = jnp.sum((cdf_nodes <= xi[..., None]).astype(jnp.int32), axis=-1) - 1
-    lo = jnp.clip(lo, 0, N_NODES - 2)
-    c0 = jnp.take_along_axis(cdf_nodes, lo[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(cdf_nodes, (lo + 1)[..., None], axis=-1)[..., 0]
-    t0 = jnp.take_along_axis(theta_nodes, lo[..., None], axis=-1)[..., 0]
-    t1 = jnp.take_along_axis(theta_nodes, (lo + 1)[..., None], axis=-1)[..., 0]
+    xi = jnp.clip(xi, cdf_nodes[0], cdf_nodes[-1])
+    lo = jnp.clip(jnp.searchsorted(cdf_nodes, xi, side="right") - 1, 0, N_NODES - 2)
+    c0 = cdf_nodes[lo]
+    c1 = cdf_nodes[lo + 1]
+    t0 = theta_nodes[lo]
+    t1 = theta_nodes[lo + 1]
     denom = c1 - c0
     w = jnp.where(denom > 0, (xi - c0) / jnp.where(denom > 0, denom, 1.0), 0.0)
     return t0 + w * (t1 - t0)
@@ -128,8 +131,8 @@ def invert_lat_lut(xi, theta_nodes, cdf_nodes):
 
 def lat_lut_bin(theta, theta_nodes):
     """O(1) uniform-theta bin index (pcg_shared.h:373-388)."""
-    span = theta_nodes[..., -1] - theta_nodes[..., 0]
-    t = jnp.where(span > 0, (theta - theta_nodes[..., 0]) / jnp.where(span > 0, span, 1.0), 0.0)
+    span = theta_nodes[-1] - theta_nodes[0]
+    t = jnp.where(span > 0, (theta - theta_nodes[0]) / jnp.where(span > 0, span, 1.0), 0.0)
     idx = (t * (N_NODES - 1)).astype(jnp.int32)
     return jnp.clip(idx, 0, N_NODES - 2)
 
@@ -144,50 +147,55 @@ def normalize_latitude(phi):
     return jnp.float32(np.pi / 2) - theta, flip
 
 
-def sample_lat_lon_roll(seed, idx, params: AxisParams, setting_idx):
-    """Per-ray orientation (lon, lat, roll) in radians.
+def sample_lat_lon_roll_row(seed, idx, params: AxisParams, s: int):
+    """Orientation (lon, lat, roll) in radians for rays of ONE setting.
 
-    Vectorized mirror of sample_lat_lon_roll (pcg_shared.h:392-455): all four
-    latitude paths computed branchlessly and selected per ray; pole flips add
-    pi to both lon and roll. Slots 0..9 of the stream are consumed here.
+    Mirror of sample_lat_lon_roll (pcg_shared.h:392-455) with the setting's
+    parameters selected by the STATIC index `s` (settings occupy contiguous
+    lane segments, so per-ray parameter gathers never exist). The latitude
+    path is a host constant per setting, so only that branch is traced.
+    Pole flips add pi to both lon and roll. Slots 0..9 consumed here.
     """
-    g = lambda arr: arr[setting_idx]  # noqa: E731  per-ray gather
+    lat_path = int(params.lat_path[s])
+    lat_mean = params.lat_mean[s]
 
-    # Full sphere path.
-    u_fs = rng.uniform(seed, idx, 0) * 2.0 - 1.0
-    phi_fs = jnp.arcsin(jnp.clip(u_fs, -1.0, 1.0))
-    lon_fs = rng.uniform(seed, idx, 1) * jnp.float32(2 * np.pi)
-
-    # Gauss-legacy path (no Jacobian correction), slots 2-3.
-    raw_gl = rng.sample_dist(seed, idx, 2, int(DistType.GAUSS_LEGACY), g(params.lat_mean), g(params.lat_std))
-    phi_gl, flip_gl = normalize_latitude(raw_gl)
-
-    # LUT inverse-CDF path, slots 4-5.
-    xi = rng.uniform(seed, idx, 4)
-    theta_nodes = params.lut_theta[setting_idx]
-    cdf_nodes = params.lut_cdf[setting_idx]
-    colat = invert_lat_lut(xi, theta_nodes, cdf_nodes)
-    phi_lut = jnp.float32(np.pi / 2) - colat
-    bin_idx = lat_lut_bin(colat, theta_nodes)
-    flip_p = jnp.take_along_axis(params.lut_flip[setting_idx], bin_idx[..., None], axis=-1)[..., 0]
-    flip_lut = rng.uniform(seed, idx, 5) < flip_p
-
-    lat_path = g(params.lat_path)
-    phi = jnp.where(lat_path == LAT_FULL_SPHERE, phi_fs, g(params.lat_mean))
-    phi = jnp.where(lat_path == LAT_GAUSS_LEGACY, phi_gl, phi)
-    phi = jnp.where(lat_path == LAT_LUT_INVERSE_CDF, phi_lut, phi)
-    flip = jnp.where(lat_path == LAT_GAUSS_LEGACY, flip_gl, False)
-    flip = jnp.where(lat_path == LAT_LUT_INVERSE_CDF, flip_lut, flip)
+    if lat_path == LAT_FULL_SPHERE:
+        u_fs = rng.uniform(seed, idx, 0) * 2.0 - 1.0
+        phi = jnp.arcsin(jnp.clip(u_fs, -1.0, 1.0))
+        flip = jnp.zeros(idx.shape, bool)
+    elif lat_path == LAT_NO_RANDOM:
+        phi = jnp.broadcast_to(lat_mean, idx.shape)
+        flip = jnp.zeros(idx.shape, bool)
+    elif lat_path == LAT_GAUSS_LEGACY:
+        raw = rng.sample_dist(seed, idx, 2, int(DistType.GAUSS_LEGACY), lat_mean, params.lat_std[s])
+        phi, flip = normalize_latitude(raw)
+    else:  # LAT_LUT_INVERSE_CDF
+        xi = rng.uniform(seed, idx, 4)
+        theta_nodes = jnp.asarray(params.lut_theta[s])
+        colat = invert_lat_lut(xi, theta_nodes, jnp.asarray(params.lut_cdf[s]))
+        phi = jnp.float32(np.pi / 2) - colat
+        flip_p = jnp.asarray(params.lut_flip[s])[lat_lut_bin(colat, theta_nodes)]
+        flip = rng.uniform(seed, idx, 5) < flip_p
 
     # Azimuth (slots 6-7) and roll (slots 8-9).
-    lon_param = rng.sample_dist(seed, idx, 6, g(params.az_type), g(params.az_mean), g(params.az_std))
-    lon = jnp.where(lat_path == LAT_FULL_SPHERE, lon_fs, lon_param)
-    roll = rng.sample_dist(seed, idx, 8, g(params.roll_type), g(params.roll_mean), g(params.roll_std))
+    if lat_path == LAT_FULL_SPHERE:
+        lon = rng.uniform(seed, idx, 1) * jnp.float32(2 * np.pi)
+    else:
+        lon = rng.sample_dist(seed, idx, 6, int(params.az_type[s]), params.az_mean[s],
+                              params.az_std[s])
+    roll = rng.sample_dist(seed, idx, 8, int(params.roll_type[s]), params.roll_mean[s],
+                           params.roll_std[s])
 
     pi = jnp.float32(np.pi)
     lon = jnp.where(flip, lon + pi, lon)
     roll = jnp.where(flip, roll + pi, roll)
     return lon, phi, roll
+
+
+def sample_lat_lon_roll(seed, idx, params: AxisParams, setting_idx):
+    """Compatibility wrapper: single-setting params ([1, ...]) only; the
+    engine samples per contiguous setting segment via the row API."""
+    return sample_lat_lon_roll_row(seed, idx, params, 0)
 
 
 def build_rotation(lon, lat, roll):

@@ -104,17 +104,32 @@ def trace_layer(
     B = d_world.shape[0]
     entry_seed = jnp.uint32(seed) ^ _rng.NONCE_ENTRY
 
-    # Per-ray geometry gather.
-    plane_n = pool.plane_n[shape_idx]           # [B, NF, 3]
-    plane_d = pool.plane_d[shape_idx]           # [B, NF]
-    face_present = pool.face_present[shape_idx]  # [B, NF]
-    face_number = pool.face_number[shape_idx]   # [B, NF]
+    if shape_idx is None:
+        # Blocked geom-clock assignment: ray i uses shape i // (B / K). A
+        # broadcast+reshape is a streaming copy XLA fuses into consumers —
+        # row-gathers with per-ray indices lower catastrophically on TPU.
+        K = pool.plane_n.shape[0]
+        assert B % K == 0, (B, K)
+        G = B // K
+
+        def expand(a):
+            return jnp.broadcast_to(a[:, None], (K, G) + a.shape[1:]).reshape(
+                (B,) + a.shape[1:]
+            )
+    else:
+        def expand(a):
+            return a[shape_idx]
+
+    plane_n = expand(pool.plane_n)           # [B, NF, 3]
+    plane_d = expand(pool.plane_d)           # [B, NF]
+    face_present = expand(pool.face_present)  # [B, NF]
+    face_number = expand(pool.face_number)   # [B, NF]
     tris = sampling.EntryTris(
-        v0=pool.tri_v0[shape_idx],
-        e1=pool.tri_e1[shape_idx],
-        e2=pool.tri_e2[shape_idx],
-        cross_half=pool.tri_cross_half[shape_idx],
-        face_idx=pool.tri_face[shape_idx],
+        v0=expand(pool.tri_v0),
+        e1=expand(pool.tri_e1),
+        e2=expand(pool.tri_e2),
+        cross_half=expand(pool.tri_cross_half),
+        face_idx=expand(pool.tri_face),
     )
 
     # Crystal-frame incident direction + entry point/face.

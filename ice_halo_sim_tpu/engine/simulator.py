@@ -142,6 +142,12 @@ class Engine:
     def _build_plan(self) -> None:
         cfg = self.cfg
         self.max_hits = int(cfg.scene.max_hits)
+        g = self.geom_clock
+        # Lane counts are allocated in whole geom-clock blocks so the
+        # ray -> pool-shape map is exactly `lane // geom_clock` — a blocked
+        # assignment the trace kernel expands with a broadcast instead of a
+        # per-ray gather (TPU row-gathers lower catastrophically).
+        self.batch_size = -(-self.batch_size // g) * g
         layers = []
         b_prev = self.batch_size
         det_crystals = 0
@@ -156,20 +162,14 @@ class Engine:
                 p_prev = cfg.scene.layers[li - 1].prob
                 expect = b_prev * min(1.5 * p_prev * 3.0, float(self.max_hits))
                 b_layer = int(min(max(expect, 1024), b_prev * self.max_hits))
-                b_layer = -(-b_layer // 256) * 256  # pad to lane multiple
-            counts = largest_remainder_partition(
-                b_layer, [e.proportion for e in settings]
+                b_layer = -(-b_layer // (256 * g)) * (256 * g)
+            blocks = largest_remainder_partition(
+                b_layer // g, [e.proportion for e in settings]
             )
+            counts = [b * g for b in blocks]
             setting_idx = np.repeat(np.arange(len(settings), dtype=np.int32), counts)
-            k_per = [max(1, -(-c // self.geom_clock)) for c in counts]
-            shape_base = np.zeros(b_layer, np.int32)
-            pos = 0
-            k_off = 0
-            for s, c in enumerate(counts):
-                lanes = np.arange(c)
-                shape_base[pos : pos + c] = k_off + np.minimum(lanes // self.geom_clock, k_per[s] - 1)
-                pos += c
-                k_off += k_per[s]
+            k_per = [max(0, b) for b in blocks]
+            shape_base = np.arange(b_layer, dtype=np.int32) // g
             axes = []
             shape_kinds = []
             shape_params = []
@@ -355,7 +355,6 @@ class Engine:
             b_layer = len(plan.setting_idx)
             layer_seed = seed0 ^ jnp.uint32(0xA5A5 * (li + 1))
             setting_idx = jnp.asarray(plan.setting_idx)
-            shape_idx = jnp.asarray(plan.shape_base)
             pool = self._sample_layer_pool(li, plan, batch_counter)
 
             if li > 0:
@@ -364,13 +363,28 @@ class Engine:
                 n_ior = optics.ice_refractive_index(wl)
                 cmf = color.cmf_lookup(wl)
 
-            lon, lat, roll = sampling.sample_lat_lon_roll(
-                layer_seed ^ rng.NONCE_ORIENT, ray_idx, plan.axis_params, setting_idx
-            )
+            # Orientation: one contiguous segment per setting (static slices;
+            # no per-ray parameter gathers).
+            lons, lats, rolls = [], [], []
+            off = 0
+            for s, c in enumerate(plan.setting_counts):
+                if c == 0:
+                    continue
+                lon_s, lat_s, roll_s = sampling.sample_lat_lon_roll_row(
+                    layer_seed ^ rng.NONCE_ORIENT, ray_idx[off : off + c],
+                    plan.axis_params, s,
+                )
+                lons.append(lon_s)
+                lats.append(lat_s)
+                rolls.append(roll_s)
+                off += c
+            lon = jnp.concatenate(lons) if len(lons) > 1 else lons[0]
+            lat = jnp.concatenate(lats) if len(lats) > 1 else lats[0]
+            roll = jnp.concatenate(rolls) if len(rolls) > 1 else rolls[0]
             rot = sampling.build_rotation(lon, lat, roll)
 
             exits = trace.trace_layer(
-                layer_seed, ray_idx, d_world, w0, rot, shape_idx, pool, n_ior, self.max_hits
+                layer_seed, ray_idx, d_world, w0, rot, None, pool, n_ior, self.max_hits
             )
 
             H = self.max_hits
@@ -383,18 +397,26 @@ class Engine:
             # path prefix length h + 1, so the per-slot check reuses the
             # shared path buffer with a constant length.
             if any(fp is not None for fp in plan.filter_plans):
-                cols = []
-                for h in range(H):
-                    lens_h = exits.path_len[:, h]
-                    dirs_h = exit_d[:, h]
-                    per_setting = jnp.stack(
-                        [
-                            filters.check_exits(fp, exits.path, lens_h, dirs_h)
-                            for fp in plan.filter_plans
+                seg_masks = []
+                off = 0
+                for s, c in enumerate(plan.setting_counts):
+                    if c == 0:
+                        continue
+                    fp = plan.filter_plans[s]
+                    if fp is None:
+                        seg_masks.append(jnp.ones((c, H), bool))
+                    else:
+                        paths_s = exits.path[off : off + c]
+                        cols = [
+                            filters.check_exits(
+                                fp, paths_s, exits.path_len[off : off + c, h],
+                                exit_d[off : off + c, h],
+                            )
+                            for h in range(H)
                         ]
-                    )  # [S, B_l]
-                    cols.append(per_setting[setting_idx, jnp.arange(len(setting_idx))])
-                fmask = jnp.stack(cols, axis=1)               # [B_l, H]
+                        seg_masks.append(jnp.stack(cols, axis=1))
+                    off += c
+                fmask = jnp.concatenate(seg_masks) if len(seg_masks) > 1 else seg_masks[0]
                 exit_w = jnp.where(fmask, exit_w, 0.0)
 
             # Probability gate per exit slot (stream: ray idx, slot 100 + h).
