@@ -89,6 +89,7 @@ class LayerPlan(NamedTuple):
     deterministic_shape: list    # per setting bool
     deterministic_axis: list     # per setting bool
     filter_plans: list           # per setting Optional[filters.FilterPlan]
+    color_plans: list            # per setting list[(bit_idx, filters.FilterPlan)]
     crystal_ids: list            # per setting user crystal id
     cont_cap: int                # continuation buffer size feeding THIS layer
 
@@ -139,9 +140,45 @@ class Engine:
     # Plan building (host)
     # ------------------------------------------------------------------
 
+    def _build_color_bits(self):
+        """Assign one component bit per raypath-color predicate and build its
+        match plan (BuildColorSpecGroups semantics, filter_spec.cpp:384-425).
+
+        Returns ({(layer, crystal_id): [(bit, plan)]}, [(class_mask, all?)])."""
+        from ice_halo_sim_tpu.config.schema import (
+            FilterConfig as FC,
+            NoneFilter as NF,
+            RaypathFilter as RF,
+            FilterAction as FA,
+        )
+
+        by_placement = {}
+        class_defs = []
+        bit = 0
+        rc = self.cfg.raypath_color
+        if rc is None:
+            return by_placement, class_defs
+        for cls in rc.classes:
+            mask = 0
+            for pred in cls.predicates:
+                if bit >= 32:
+                    raise ValueError("more than 32 raypath-color predicates")
+                crystal = self.cfg.crystals[pred.crystal_id]
+                param = RF(raypath=pred.raypath) if pred.raypath else NF()
+                plan = filters.build_filter_plan(
+                    FC(id=0, param=param, symmetry=pred.symmetry, action=FA.FILTER_IN),
+                    crystal.axis, self.cfg.filters, pred.crystal_id,
+                )
+                by_placement.setdefault((pred.layer, pred.crystal_id), []).append((bit, plan))
+                mask |= 1 << bit
+                bit += 1
+            class_defs.append((mask, cls.combine_all))
+        return by_placement, class_defs
+
     def _build_plan(self) -> None:
         cfg = self.cfg
         self.max_hits = int(cfg.scene.max_hits)
+        color_by_placement, self.color_classes = self._build_color_bits()
         g = self.geom_clock
         # Lane counts are allocated in whole geom-clock blocks so the
         # ray -> pool-shape map is exactly `lane // geom_clock` — a blocked
@@ -176,6 +213,7 @@ class Engine:
             det_shape = []
             det_axis = []
             filter_ids = []
+            color_plans = []
             crystal_ids = []
             for e in settings:
                 crystal: CrystalConfig = cfg.crystals[e.crystal_id]
@@ -218,6 +256,7 @@ class Engine:
                     )
                 else:
                     filter_ids.append(None)
+                color_plans.append(color_by_placement.get((li, e.crystal_id), []))
             luts = [latlut.build_lat_lut(a.latitude) for a in axes]
             layers.append(
                 LayerPlan(
@@ -233,6 +272,7 @@ class Engine:
                     deterministic_shape=det_shape,
                     deterministic_axis=det_axis,
                     filter_plans=filter_ids,
+                    color_plans=color_plans,
                     crystal_ids=crystal_ids,
                     cont_cap=b_layer,
                 )
@@ -261,14 +301,20 @@ class Engine:
         self.proj_plans = [projection.make_proj_plan(r) for r in self.cfg.renders]
 
     def reset(self) -> None:
-        self.accum = tuple(
-            jnp.zeros((p.height * p.width, 3), jnp.float32) for p in self.proj_plans
-        ) + (jnp.zeros((len(self.proj_plans),), jnp.float32),)  # landed weights
+        n_classes = len(self.color_classes)
+        accum = [jnp.zeros((p.height * p.width, 3), jnp.float32) for p in self.proj_plans]
+        if n_classes:
+            accum += [
+                jnp.zeros((n_classes, p.height * p.width), jnp.float32)
+                for p in self.proj_plans
+            ]
+        self.accum = tuple(accum) + (jnp.zeros((len(self.proj_plans),), jnp.float32),)
         self.stats = Stats(
             deterministic_crystal_count=self.det_crystal_count,
             deterministic_orientation_count=self.det_orientation_count,
         )
         self.batch_counter = 0
+        self._pending_dropped = []
 
     # ------------------------------------------------------------------
     # Device step
@@ -346,10 +392,14 @@ class Engine:
             self.cfg.light.sun.diameter,
         )
 
-        xyz_acc = list(accum[:-1])
+        n_renders = len(self.proj_plans)
+        n_classes = len(self.color_classes)
+        xyz_acc = list(accum[:n_renders])
+        lane_acc = list(accum[n_renders:-1]) if n_classes else []
         landed = accum[-1]
         dropped_w = jnp.float32(0.0)
 
+        carried_mask = jnp.zeros((B,), jnp.uint32)
         n_layers = len(self.layers)
         for li, plan in enumerate(self.layers):
             b_layer = len(plan.setting_idx)
@@ -359,7 +409,7 @@ class Engine:
 
             if li > 0:
                 # d_world/w0/wl arrive from the continuation buffer (below).
-                d_world, w0, wl, ray_idx = cont
+                d_world, w0, wl, ray_idx, carried_mask = cont
                 n_ior = optics.ice_refractive_index(wl)
                 cmf = color.cmf_lookup(wl)
 
@@ -434,10 +484,39 @@ class Engine:
                 to_continue = jnp.zeros_like(exit_w, bool)
                 acc_mask = jnp.ones_like(exit_w, bool)
 
+            # Component mask per exit: carried bits OR bits produced by this
+            # layer's color predicates (evaluated per setting segment on the
+            # exit's path — CollectData Design-2 color pass semantics).
+            exit_mask = jnp.broadcast_to(carried_mask[:, None], exit_w.shape)
+            if n_classes and any(plan.color_plans):
+                seg_bits = []
+                off = 0
+                for s, c in enumerate(plan.setting_counts):
+                    if c == 0:
+                        continue
+                    bits = jnp.zeros((c, H), jnp.uint32)
+                    for bit_idx, cplan in plan.color_plans[s]:
+                        cols = [
+                            filters.check_exits(
+                                cplan, exits.path[off : off + c],
+                                exits.path_len[off : off + c, h],
+                                exit_d[off : off + c, h],
+                            )
+                            for h in range(H)
+                        ]
+                        match = jnp.stack(cols, axis=1)
+                        bits = bits | jnp.where(match, jnp.uint32(1 << bit_idx), 0)
+                    seg_bits.append(bits)
+                    off += c
+                produced = jnp.concatenate(seg_bits) if len(seg_bits) > 1 else seg_bits[0]
+                exit_mask = exit_mask | produced
+
             acc_w = jnp.where(acc_mask, exit_w, 0.0)          # [B_l, H]
             flat_w = acc_w.reshape(-1)
             flat_d = exit_d.reshape(-1, 3)
             flat_xyz = (cmf[:, None, :] * acc_w[..., None]).reshape(-1, 3)
+            flat_mask = exit_mask.reshape(-1)
+            flat_y = (cmf[:, None, 1] * acc_w).reshape(-1)
 
             for r, pplan in enumerate(self.proj_plans):
                 hits = projection.project(pplan, flat_d)
@@ -451,6 +530,18 @@ class Engine:
                 ov_contrib = jnp.where(ov_ok[:, None], flat_xyz, 0.0)
                 xyz_acc[r] = xyz_acc[r].at[ov_pix].add(ov_contrib, mode="drop")
                 # Overlap writes do NOT enter landed weight (render.cpp:376-390).
+
+                # Per-color-class Y lanes (same pixels/exposure as the mono
+                # image — the shared-exposure hard invariant, render.cpp:398).
+                for ci, (cls_mask, combine_all) in enumerate(self.color_classes):
+                    if combine_all:
+                        member = (flat_mask & jnp.uint32(cls_mask)) == jnp.uint32(cls_mask)
+                    else:
+                        member = (flat_mask & jnp.uint32(cls_mask)) != 0
+                    lane_w = jnp.where(member & main_ok, flat_y, 0.0)
+                    lane_acc[r] = lane_acc[r].at[ci, pix].add(lane_w, mode="drop")
+                    ov_lane_w = jnp.where(member & ov_ok, flat_y, 0.0)
+                    lane_acc[r] = lane_acc[r].at[ci, ov_pix].add(ov_lane_w, mode="drop")
 
             if not is_last:
                 next_plan = self.layers[li + 1]
@@ -473,11 +564,12 @@ class Engine:
                 cont_d = jnp.where(sel_ok[:, None], exit_d.reshape(-1, 3)[sel], 0.0)
                 cont_wv = jnp.where(sel_ok, cont_w_all[sel], 0.0)
                 cont_wl = wl[ray_of]
+                cont_mask = jnp.where(sel_ok, exit_mask.reshape(-1)[sel], 0)
                 dropped_w = dropped_w + jnp.sum(cont_w_all) - jnp.sum(cont_wv)
                 next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
-                cont = (cont_d, cont_wv, cont_wl, next_ray_idx)
+                cont = (cont_d, cont_wv, cont_wl, next_ray_idx, cont_mask)
 
-        new_accum = tuple(xyz_acc) + (landed,)
+        new_accum = tuple(xyz_acc) + tuple(lane_acc) + (landed,)
         return new_accum, dropped_w
 
     # ------------------------------------------------------------------
@@ -496,9 +588,12 @@ class Engine:
                 jnp.uint32(self.batch_counter),
             )
             self.batch_counter += 1
+            # Keep `dropped` device-side: a float() here would force a
+            # blocking device->host sync every batch (fatal over a
+            # high-latency device link); stats reads drain lazily.
+            self._pending_dropped.append(dropped)
             self.stats = self.stats._replace(
                 rays_traced=self.stats.rays_traced + self.batch_size,
-                dropped_cont_weight=self.stats.dropped_cont_weight + float(dropped),
                 stochastic_crystal_samples=self.stats.stochastic_crystal_samples
                 + sum(
                     k
@@ -513,6 +608,16 @@ class Engine:
                     for c, det in zip(plan.setting_counts, plan.deterministic_axis)
                     if not det
                 ),
+            )
+        return self.stats
+
+    def drain_stats(self) -> Stats:
+        """Fold pending device-side counters into stats (one sync)."""
+        if self._pending_dropped:
+            total = float(np.sum([np.asarray(d) for d in self._pending_dropped]))
+            self._pending_dropped = []
+            self.stats = self.stats._replace(
+                dropped_cont_weight=self.stats.dropped_cont_weight + total
             )
         return self.stats
 
@@ -539,3 +644,27 @@ class Engine:
     def raw_xyz(self, render_idx: int = 0) -> np.ndarray:
         p = self.proj_plans[render_idx]
         return np.asarray(self.accum[render_idx]).reshape(p.height, p.width, 3)
+
+    def lane_y(self, render_idx: int = 0) -> Optional[np.ndarray]:
+        """Raw per-color-class Y lanes [C, H, W] for one renderer."""
+        if not self.color_classes:
+            return None
+        p = self.proj_plans[render_idx]
+        arr = self.accum[len(self.proj_plans) + render_idx]
+        return np.asarray(arr).reshape(len(self.color_classes), p.height, p.width)
+
+    def composite(self, render_idx: int = 0, display_exposure_scale: float = 1.0):
+        """Color-class composite image (linear RGB [H, W, 3]) or None."""
+        from ice_halo_sim_tpu.engine.compositor import composite_color_classes
+
+        lanes = self.lane_y(render_idx)
+        if lanes is None or self.cfg.raypath_color is None:
+            return None
+        rcfg = self.cfg.renders[render_idx]
+        return composite_color_classes(
+            lanes,
+            self.cfg.raypath_color.classes,
+            self.cfg.raypath_color.composite_mode,
+            intensity_factor=rcfg.intensity_factor,
+            display_exposure_scale=display_exposure_scale,
+        )
