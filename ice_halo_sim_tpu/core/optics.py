@@ -68,15 +68,16 @@ def fresnel_split(d, n_face, w, n_ior):
     cos_sq = cos_theta * cos_theta
     delta = (1.0 - rr * rr) / jnp.maximum(cos_sq, 1e-20) + rr * rr
     is_tir = delta <= 0.0
-    delta_c = jnp.maximum(delta, 0.0)
-    r_ratio = reflect_ratio(delta_c, rr)
-    r_ratio = jnp.where(is_tir, 1.0, r_ratio)
+    # Double-where: sqrt'(0) = inf would leak NaN through the masked TIR
+    # branch in reverse mode (the jnp.where gradient trap).
+    delta_safe = jnp.where(is_tir, 1.0, jnp.maximum(delta, 0.0))
+    r_ratio = jnp.where(is_tir, 1.0, reflect_ratio(delta_safe, rr))
     w_reflect = r_ratio * w
     w_refract = jnp.where(is_tir, 0.0, w - w_reflect)
 
     ct = cos_theta[..., None]
     d_reflect = d - 2.0 * ct * n_face
-    sd = jnp.sqrt(delta_c)[..., None]
+    sd = jnp.sqrt(delta_safe)[..., None]
     rr_b = rr[..., None]
     d_refract_raw = rr_b * d - (rr_b - sd) * ct * n_face
     d_refract = jnp.where(is_tir[..., None], d_reflect, d_refract_raw)

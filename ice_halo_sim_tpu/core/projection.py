@@ -167,6 +167,68 @@ def _dual_fisheye_pixel(x_norm, y_norm, is_upper, width: int, height: int):
     return jnp.floor(fx + 0.5).astype(jnp.int32), jnp.floor(fy + 0.5).astype(jnp.int32)
 
 
+def project_continuous(plan: ProjPlan, w_dir: jnp.ndarray):
+    """Continuous pixel coordinates (fx, fy, valid) for the single-lens
+    family — the differentiable projection surface used by bilinear
+    splatting (gradients flow through ray directions into pixel positions,
+    which integer binning blocks).
+    """
+    t = plan.lens_type
+    wx, wy, wz = w_dir[..., 0], w_dir[..., 1], w_dir[..., 2]
+    rot = jnp.asarray(plan.rot)
+    W, H = plan.width, plan.height
+    valid = jnp.ones_like(wx, bool)
+    if plan.visible == VisibleRange.UPPER:
+        valid &= wz <= 0.0
+    elif plan.visible == VisibleRange.LOWER:
+        valid &= wz >= 0.0
+    neg = -w_dir
+    c = jnp.einsum("ji,...j->...i", rot, neg)
+    cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+    if t == LensType.LINEAR:
+        safe_cz = jnp.where(cz > 0, cz, 1.0)
+        x, y = cx / safe_cz, cy / safe_cz
+        valid &= cz > 0.0
+    elif t in (LensType.FISHEYE_EQUAL_AREA, LensType.FISHEYE_EQUIDISTANT,
+               LensType.FISHEYE_STEREOGRAPHIC, LensType.FISHEYE_ORTHOGRAPHIC):
+        valid &= cz > 0.0
+        safe_cz = jnp.where(valid, cz, 1.0)
+        x, y, v2 = _fisheye_forward(t, cx, cy, safe_cz, 1.0)
+        valid &= v2
+    else:
+        raise NotImplementedError(
+            "project_continuous supports the single-lens family; "
+            f"lens type {t} uses the discrete path"
+        )
+    x = -x
+    fx = x * plan.scale + W / 2.0 + 0.5 + plan.shift_x
+    fy = y * plan.scale + H / 2.0 + 0.5 + plan.shift_y
+    return fx, fy, valid
+
+
+def splat_bilinear(acc, fx, fy, valid, values, width: int, height: int):
+    """Bilinear 4-neighbor scatter-add of `values` [..., C] into a flat
+    [H*W, C] accumulator at continuous pixel coords. Differentiable w.r.t.
+    fx/fy (the weights) — the soft-binning path for gradient rendering."""
+    x0 = jnp.floor(fx - 0.5)
+    y0 = jnp.floor(fy - 0.5)
+    tx = (fx - 0.5) - x0
+    ty = (fy - 0.5) - y0
+    for dx, dy, w in (
+        (0, 0, (1 - tx) * (1 - ty)),
+        (1, 0, tx * (1 - ty)),
+        (0, 1, (1 - tx) * ty),
+        (1, 1, tx * ty),
+    ):
+        px = x0.astype(jnp.int32) + dx
+        py = y0.astype(jnp.int32) + dy
+        ok = valid & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+        pix = jnp.where(ok, py * width + px, 0)
+        contrib = jnp.where(ok[..., None], values * w[..., None], 0.0)
+        acc = acc.at[pix].add(contrib, mode="drop")
+    return acc
+
+
 class PixelHits(NamedTuple):
     """0..2 pixel hits per ray; pix = py * W + px flattened, -1 when invalid.
 

@@ -313,7 +313,18 @@ def sample_entry(seed, idx, d_local, tris: EntryTris):
     v = jnp.where(over, 1.0 - v, v)
     p = v0 + u[..., None] * e1 + v[..., None] * e2
     face = jnp.take_along_axis(tris.face_idx, sel[..., None], axis=-1)[..., 0]
-    return p, face, has_entry
+
+    # Log selection probability of the chosen sub-triangle — the score
+    # function for REINFORCE-style gradients through the discrete entry
+    # choice (gradient.py). Detached lanes (total = 0) return 0.
+    w_sel = jnp.take_along_axis(w, sel[..., None], axis=-1)[..., 0]
+    safe_total = jnp.where(has_entry, total, 1.0)
+    log_p = jnp.where(
+        has_entry & (w_sel > 0),
+        jnp.log(jnp.where(w_sel > 0, w_sel, 1.0)) - jnp.log(safe_total),
+        0.0,
+    )
+    return p, face, has_entry, log_p
 
 
 # Number of RNG slots consumed by orientation (0-9) + entry (10-12) sampling.

@@ -87,6 +87,7 @@ def trace_layer(
     pool: GeomPool,
     n_ior: jnp.ndarray,
     max_hits: int,
+    score_grad: bool = False,
 ) -> TraceExits:
     """Trace B rays through one scattering layer's crystals.
 
@@ -134,8 +135,14 @@ def trace_layer(
 
     # Crystal-frame incident direction + entry point/face.
     d_local = sampling.rotate_inv(rot, d_world)
-    p, f0, entry_ok = sampling.sample_entry(entry_seed, ray_idx, d_local, tris)
+    p, f0, entry_ok, log_p = sampling.sample_entry(entry_seed, ray_idx, d_local, tris)
     w = jnp.where(entry_ok, w0, 0.0)
+    if score_grad:
+        # REINFORCE surrogate: multiply by exp(logp - sg(logp)) == 1 in the
+        # forward pass; in reverse mode every downstream contribution picks
+        # up d(log p)/d(params) — the gradient of the discrete entry-face
+        # selection probability that plain autodiff misses.
+        w = w * jnp.exp(log_p - jax.lax.stop_gradient(log_p))
 
     take_face = lambda arr, f: jnp.take_along_axis(  # noqa: E731
         arr, f[:, None, None] if arr.ndim == 3 else f[:, None], axis=1

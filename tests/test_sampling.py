@@ -132,7 +132,7 @@ def test_entry_sampling_projected_area():
 
     bt = gather(tris, n)
     d_down = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    p, face, ok = smp.sample_entry(2, idx, d_down, bt)
+    p, face, ok, _ = smp.sample_entry(2, idx, d_down, bt)
     assert bool(np.all(np.asarray(ok)))
     assert (np.asarray(face) == 0).all()
     pn = np.asarray(p)
@@ -143,7 +143,7 @@ def test_entry_sampling_projected_area():
     # A lateral ray sees three side faces: slot 2 head-on (cos 1) and slots
     # 3, 7 at 60 degrees (cos 1/2) -> fractions 1/2, 1/4, 1/4.
     d_mx = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32), (n, 1))
-    p, face, ok = smp.sample_entry(2, idx, d_mx, bt)
+    p, face, ok, _ = smp.sample_entry(2, idx, d_mx, bt)
     faces_mx = np.asarray(face)
     assert set(np.unique(faces_mx)) == {2, 3, 7}
     assert (faces_mx == 2).mean() == pytest.approx(0.5, abs=0.02)
@@ -153,7 +153,7 @@ def test_entry_sampling_projected_area():
     # (+ two oblique sides at 60 deg).
     d_ob = jnp.tile(jnp.asarray([[-np.sin(np.deg2rad(45.0)), 0.0, -np.cos(np.deg2rad(45.0))]],
                                 dtype=jnp.float32), (n, 1))
-    p, face, ok = smp.sample_entry(2, idx, d_ob, bt)
+    p, face, ok, _ = smp.sample_entry(2, idx, d_ob, bt)
     faces = np.asarray(face)
     hex_area = 3 * np.sqrt(3) / 2 * 0.25
     s = np.sin(np.deg2rad(45.0))
@@ -175,5 +175,5 @@ def test_entry_sampling_empty_crystal():
     bt = smp.EntryTris(*[jnp.broadcast_to(a, (n,) + a.shape) for a in tris])
     idx = jnp.arange(n, dtype=jnp.uint32)
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
-    _, _, ok = smp.sample_entry(0, idx, d, bt)
+    _, _, ok, _ = smp.sample_entry(0, idx, d, bt)
     assert not bool(np.any(np.asarray(ok)))
