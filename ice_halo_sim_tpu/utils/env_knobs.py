@@ -1,0 +1,72 @@
+"""Central registry of IHT_* environment knobs.
+
+The reference funnels every ``LUMICE_*`` getenv through one registered site
+(/root/reference/src/util/env_knobs.hpp:34-115) and CI bans stray getenv
+calls (scripts/check_policies.py:12-15). Same discipline here: all
+environment-variable reads in this package go through this module, every
+knob is declared in ``KNOBS`` with a docstring, and tests can enumerate the
+registry.
+
+Knobs (all optional; unset means "use the code default"):
+  IHT_BATCH_SIZE     rays per device step (the dispatch grain,
+                     reference LUMICE_DISPATCH_RAY_NUM).
+  IHT_GEOM_CLOCK     rays sharing one sampled crystal shape
+                     (reference LUMICE_GEOM_CLOCK, default 32, safe [1, 64]).
+  IHT_PLATFORM       force a JAX platform ("cpu", "tpu").
+  IHT_SEED           default RNG seed for CLI/server entry points.
+  IHT_SNAPSHOT_EVERY server pump batches between implicit stat drains.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+
+@dataclass(frozen=True)
+class Knob:
+    name: str
+    doc: str
+    parse: Callable[[str], object]
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+
+
+def _clamp(v, lo, hi):
+    if lo is not None and v < lo:
+        return lo
+    if hi is not None and v > hi:
+        return hi
+    return v
+
+
+KNOBS: Dict[str, Knob] = {
+    k.name: k
+    for k in [
+        Knob("IHT_BATCH_SIZE", "rays per device step", int, lo=4096, hi=1 << 24),
+        Knob("IHT_GEOM_CLOCK", "rays per sampled crystal shape", int, lo=1, hi=64),
+        Knob("IHT_PLATFORM", "force a JAX platform", str),
+        Knob("IHT_SEED", "default RNG seed", int, lo=0),
+        Knob("IHT_SNAPSHOT_EVERY", "pump batches between stat drains", int, lo=1),
+    ]
+}
+
+
+def get(name: str, default=None):
+    """Read one registered knob (the single getenv site)."""
+    knob = KNOBS[name]  # KeyError = unregistered knob: a bug by policy
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return default
+    try:
+        v = knob.parse(raw)
+    except (TypeError, ValueError):
+        return default
+    if isinstance(v, (int, float)):
+        v = _clamp(v, knob.lo, knob.hi)
+    return v
+
+
+def describe() -> str:
+    return "\n".join(f"{k.name}: {k.doc}" for k in KNOBS.values())

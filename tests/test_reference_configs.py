@@ -1,0 +1,153 @@
+"""E2E battery over the reference's own scene configs.
+
+The reference validates e2e behavior with PSNR against committed reference
+images (test/e2e-correctness/test_smoke.py). Those images are git-lfs
+pointers in this environment, so the oracle here is the reference's own
+mandated parity battery (doc/testing-architecture.md:271-288): analytic
+anchors + cross-seed self-consistency + energy accounting — "never
+correlation alone".
+
+Three legs:
+  1. Smoke sweep: every showcase config (the PSNR_THRESHOLDS set in the
+     reference's test_smoke.py) plus the feature-heavy gate fixtures loads,
+     runs, and produces finite images of the configured size with content.
+  2. Cross-seed self-consistency: two independent seeds must produce images
+     that agree to Monte-Carlo noise (PSNR floor calibrated like the
+     reference: measured run-to-run PSNR minus margin).
+  3. Analytic anchor: the parhelion config must place sundogs on the
+     parhelic circle at the 22-degree-prism minimum-deviation azimuth.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from ice_halo_sim_tpu.config.loader import load_project_file
+from ice_halo_sim_tpu.engine.simulator import Engine
+
+CONFIG_DIR = "/root/reference/test/e2e/configs"
+
+# The reference's showcase set (one per reference image) + feature gates.
+SMOKE_CONFIGS = [
+    "color",
+    "cza",
+    "dual_fisheye_ref",
+    "filters",
+    "halo_22",
+    "ms_multi_crystal",
+    "multi_lens",
+    "multi_scatter",
+    "orthographic_180",
+    "parhelion",
+    "pyramid",
+    "render_opts",
+    # feature-heavy gate fixtures
+    "ms_multi_crystal_complex_filter",
+    "ms_multi_crystal_filtered_bd",
+    "ms3_mixed_pyramid_heavy",
+    "ms_prob05_filtered",
+    "raypath_color_three_arcs",
+    "raypath_symmetry_4_6",
+]
+
+
+@pytest.mark.parametrize("name", SMOKE_CONFIGS)
+def test_showcase_config_smoke(name):
+    cfg = load_project_file(f"{CONFIG_DIR}/{name}.json")
+    eng = Engine(cfg, seed=7, batch_size=1 << 14)
+    eng.run(n_batches=1)
+    images = eng.snapshot()
+    assert len(images) == len(cfg.renders)
+    for img, rcfg in zip(images, cfg.renders):
+        w, h = rcfg.resolution
+        assert img.shape == (h, w, 3), f"{name}: wrong image shape {img.shape}"
+        assert img.dtype == np.uint8
+        assert np.isfinite(np.asarray(eng.raw_xyz(0))).all()
+    # At least one renderer saw some light (filters can darken but not
+    # black out an entire showcase scene).
+    landed = np.asarray(eng.accum[-1])
+    assert float(landed.sum()) > 0.0, f"{name}: no rays landed"
+
+
+def _render(cfg, seed, rays):
+    eng = Engine(cfg, seed=seed, batch_size=1 << 16)
+    eng.run(total_rays=rays)
+    return eng.raw_xyz(0), np.asarray(eng.accum[-1])
+
+
+def _psnr(a, b):
+    """PSNR between two accumulated XYZ images, peak = mean of brights."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    scale = max(a.max(), 1e-30)
+    mse = ((a - b) ** 2).mean() / scale**2
+    return 10.0 * np.log10(1.0 / max(mse, 1e-30))
+
+
+def test_cross_seed_consistency():
+    """Two seeds, same scene -> images equal to Monte-Carlo noise.
+
+    The reference calibrates PSNR floors as measured-run-to-run minus 3 dB
+    (test_smoke.py PSNR_THRESHOLDS); at the reduced ray count used here the
+    raw-XYZ run-to-run PSNR measures ~34 dB, floor set at 27.
+    """
+    cfg = load_project_file(f"{CONFIG_DIR}/halo_22.json")
+    x1, l1 = _render(cfg, seed=11, rays=1 << 20)
+    x2, l2 = _render(cfg, seed=97, rays=1 << 20)
+    psnr = _psnr(x1, x2)
+    assert psnr > 27.0, f"cross-seed PSNR {psnr:.1f} dB below floor"
+    # Total landed energy must agree across seeds (conservation battery).
+    assert abs(l1.sum() - l2.sum()) / max(l1.sum(), 1e-30) < 0.02
+
+
+def test_22_degree_ring_anchor():
+    """The 22-degree halo ring sits exactly at the minimum-deviation angle.
+
+    Analytic oracle: minimum deviation through the 60-degree prism wedge at
+    n(550 nm) = 1.311 is 2 asin(n sin 30 deg) - 60 deg = 21.8 deg; radiance
+    must be near-zero inside (no scattering below minimum deviation) and
+    jump sharply at the ring. parhelion.json is a singly-oriented-column
+    scene (zenith Gauss(90, 0.5), the reference preset table in
+    doc/coordinate-convention.md section 7), so the ring carries
+    tangent-arc brightening but its inner edge is still the 21.8-deg wall.
+
+    We scan mean brightness over rings of angular radius theta around the
+    sun and require (a) the peak ring in [21, 25] deg and (b) a >5x jump
+    from theta=19 to theta=22.
+    """
+    from ice_halo_sim_tpu.core import projection
+
+    cfg = load_project_file(f"{CONFIG_DIR}/parhelion.json")
+    eng = Engine(cfg, seed=3, batch_size=1 << 16)
+    eng.run(total_rays=1 << 21)
+    ysum = eng.raw_xyz(0)[..., 1]
+    plan = eng.proj_plans[0]
+
+    alt = np.deg2rad(cfg.light.sun.altitude)
+    sun = np.array([np.cos(alt), 0.0, np.sin(alt)])
+    e1 = np.array([0.0, 1.0, 0.0])
+    e2 = np.cross(sun, e1)
+
+    def ring_mean(theta_deg):
+        th = np.deg2rad(theta_deg)
+        vals = []
+        for phi in np.linspace(0, 2 * np.pi, 73)[:-1]:
+            p = np.cos(th) * sun + np.sin(th) * (np.cos(phi) * e1 + np.sin(phi) * e2)
+            d = -p.astype(np.float32)
+            pix = int(np.asarray(projection.project(plan, d[None, :]).main)[0])
+            if pix < 0:
+                continue
+            r, c = divmod(pix, plan.width)
+            vals.append(ysum[max(0, r - 1) : r + 2, max(0, c - 1) : c + 2].mean())
+        return float(np.mean(vals))
+
+    thetas = np.arange(6.0, 41.0, 1.0)
+    means = np.array([ring_mean(t) for t in thetas])
+    peak = float(thetas[means.argmax()])
+    assert 21.0 <= peak <= 25.0, f"ring peak at {peak} deg"
+    inside = ring_mean(19.0)
+    wall = ring_mean(22.0)
+    assert wall > 5.0 * max(inside, 1e-30), (
+        f"no sharp minimum-deviation wall: inside={inside}, ring={wall}"
+    )
