@@ -1,0 +1,131 @@
+/* iht.h — public C API of the TPU-native ice-halo renderer.
+ *
+ * Mirrors the capability surface of the reference C API
+ * (/root/reference/src/include/lumice.h: server lifecycle, scene commit,
+ * result-frame acquisition, stats, validation helpers) in the TPU-native
+ * formulation: the compute path is the JAX engine, and this library embeds
+ * the CPython runtime to drive it, exposing a plain C ABI so C/C++
+ * front-ends (CLI, GUI, FFI bindings) need no Python linkage of their own.
+ *
+ * Threading: all functions are thread-safe; calls may be made from any
+ * thread. Result frames are immutable snapshots (reference ResultFrame,
+ * server.hpp:229-242): acquire, read, release.
+ */
+
+#ifndef IHT_H_
+#define IHT_H_
+
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#define IHT_API_VERSION 1
+
+typedef struct IHT_Server IHT_Server;
+typedef struct IHT_ResultFrame IHT_ResultFrame;
+
+typedef enum {
+  IHT_OK = 0,
+  IHT_ERR_INVALID_ARG = -1,
+  IHT_ERR_RUNTIME = -2,     /* Python-side exception; see IHT_LastError */
+  IHT_ERR_NO_FRAME = -3,    /* no commit yet */
+  IHT_ERR_BUFFER_TOO_SMALL = -4,
+  IHT_ERR_TIMEOUT = -5,
+} IHT_Status;
+
+typedef enum {
+  IHT_STATE_IDLE = 0,
+  IHT_STATE_RUNNING = 1,
+  IHT_STATE_STOPPED = 2,
+} IHT_ServerState;
+
+typedef enum { IHT_CRYSTAL_PRISM = 0, IHT_CRYSTAL_PYRAMID = 1 } IHT_CrystalKind;
+
+typedef enum {
+  IHT_RAYPATH_VALID = 0,
+  IHT_RAYPATH_INCOMPLETE = 1,
+  IHT_RAYPATH_INVALID = 2,
+} IHT_RaypathValidation;
+
+/* Aggregate statistics snapshot (two-rule aggregation: stochastic counts
+ * accumulate, deterministic counts are config constants —
+ * reference trace_backend.hpp:525-625). */
+typedef struct {
+  long long rays_traced;
+  double landed_weight;
+  double dropped_cont_weight;
+  long long stochastic_crystal_samples;
+  long long stochastic_orientation_samples;
+  long long deterministic_crystal_count;
+  long long deterministic_orientation_count;
+} IHT_Stats;
+
+int IHT_ApiVersion(void);
+
+/* Last error message for the calling thread ("" if none). The returned
+ * pointer is valid until the next IHT_* call on the same thread. */
+const char* IHT_LastError(void);
+
+/* ---- server lifecycle ------------------------------------------------- */
+
+/* seed: RNG seed. batch_size: rays per device step, 0 = auto. */
+IHT_Status IHT_CreateServer(IHT_Server** out, unsigned int seed,
+                            int batch_size);
+IHT_Status IHT_DestroyServer(IHT_Server* server);
+
+/* Commit a scene (project JSON text / file path). out_reused (may be NULL)
+ * receives 1 if the previous accumulation was kept (value-equal layout,
+ * reference Server::CommitConfig reuse), else 0. */
+IHT_Status IHT_CommitSceneJson(IHT_Server* server, const char* json,
+                               int* out_reused);
+IHT_Status IHT_CommitSceneFile(IHT_Server* server, const char* path,
+                               int* out_reused);
+
+/* O(1), render-free progress counter (reference stats.hpp:18-25). */
+long long IHT_GetSimRayCount(IHT_Server* server);
+
+/* IHT_ServerState, or a negative IHT_Status. */
+int IHT_QueryServerState(IHT_Server* server);
+
+/* Block until the committed ray budget is drained. timeout_s < 0 = forever. */
+IHT_Status IHT_WaitIdle(IHT_Server* server, double timeout_s);
+
+/* Halt pumping; results stay readable (reference LUMICE_StopServer). */
+IHT_Status IHT_StopServer(IHT_Server* server);
+
+/* ---- result frames ---------------------------------------------------- */
+
+IHT_Status IHT_AcquireResultFrame(IHT_Server* server, IHT_ResultFrame** out);
+IHT_Status IHT_ReleaseResultFrame(IHT_ResultFrame* frame);
+
+long long IHT_FrameGetGeneration(const IHT_ResultFrame* frame);
+long long IHT_FrameGetRayCount(const IHT_ResultFrame* frame);
+int IHT_FrameIsIdle(const IHT_ResultFrame* frame);
+int IHT_FrameGetRenderCount(const IHT_ResultFrame* frame);
+IHT_Status IHT_FrameGetRenderSize(const IHT_ResultFrame* frame, int idx,
+                                  int* width, int* height);
+/* Tone-mapped sRGB image, tightly packed RGB8, row-major. cap in bytes
+ * (needs width*height*3). */
+IHT_Status IHT_FrameGetRender(const IHT_ResultFrame* frame, int idx,
+                              unsigned char* dst, size_t cap);
+/* Raw accumulated CIE-XYZ floats, row-major [H][W][3]. cap in floats. */
+IHT_Status IHT_FrameGetRawXyz(const IHT_ResultFrame* frame, int idx,
+                              float* dst, size_t cap);
+IHT_Status IHT_FrameGetStats(const IHT_ResultFrame* frame, IHT_Stats* out);
+
+/* ---- validation helpers (no server needed) ---------------------------- */
+
+/* 1 if the face number is legal on the crystal kind (crystal.cpp:43-56). */
+int IHT_IsLegalFace(IHT_CrystalKind kind, int face);
+
+/* IHT_RaypathValidation for dash/comma-separated face text. kind < 0 =
+ * syntax-only. */
+int IHT_ValidateRaypathText(const char* text, int kind);
+
+#ifdef __cplusplus
+} /* extern "C" */
+#endif
+
+#endif /* IHT_H_ */
