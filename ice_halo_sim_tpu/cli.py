@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     parser.add_argument("--geom-clock", type=int, default=32)
     parser.add_argument("--benchmark", action="store_true",
                         help="measure steady-state rays/s and print [BENCHMARK] JSON")
+    parser.add_argument("--draw-overlays", action="store_true",
+                        help="rasterize grid lines / celestial outline onto outputs "
+                             "(display-time overlays; the reference draws these only "
+                             "in its GUI shader)")
     parser.add_argument("--platform", default=None,
                         help="force a JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -97,7 +101,14 @@ def main(argv=None) -> int:
 
     os.makedirs(args.output, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.config))[0]
-    for img, rcfg in zip(engine.snapshot(), cfg.renders):
+    for r, (img, rcfg) in enumerate(zip(engine.snapshot(), cfg.renders)):
+        if args.draw_overlays:
+            from ice_halo_sim_tpu.engine.overlay import draw_overlays_u8
+
+            img = draw_overlays_u8(
+                img, rcfg, engine.proj_plans[r],
+                cfg.light.sun.azimuth, cfg.light.sun.altitude,
+            )
         out_path = os.path.join(args.output, f"{stem}_render{rcfg.id}.png")
         write_png(out_path, img)
         print("wrote", out_path)

@@ -326,3 +326,120 @@ def project(plan: ProjPlan, w_dir: jnp.ndarray) -> PixelHits:
         return PixelHits(main=in_bounds(px, py, valid), overlap=no_hit)
 
     raise ValueError(f"unknown lens type {t}")
+
+
+# --------------------------------------------------------------------------
+# Inverse projection (pixel -> world exit direction)
+# --------------------------------------------------------------------------
+
+def _fisheye_inverse(lens_type: int, x, y, r_scale: float):
+    """Normalized image plane (x, y) -> unit camera/sky direction (dx, dy,
+    dz >= hemisphere) + validity. Inverse of _fisheye_forward; mirrors the
+    reference's pure-math inverses (projection.cpp:65-130)."""
+    x = x / r_scale
+    y = y / r_scale
+    r2 = x * x + y * y
+    r = jnp.sqrt(r2)
+    safe_r = jnp.maximum(r, 1e-10)
+    if lens_type in (LensType.FISHEYE_EQUAL_AREA, LensType.DUAL_FISHEYE_EQUAL_AREA):
+        dz = 1.0 - r2
+        s = jnp.sqrt(jnp.maximum(1.0 + dz, 0.0))
+        return x * s, y * s, dz, r2 <= 2.0
+    if lens_type in (LensType.FISHEYE_EQUIDISTANT, LensType.DUAL_FISHEYE_EQUIDISTANT):
+        theta = r * jnp.float32(np.pi / 2)
+        sin_t = jnp.sin(jnp.minimum(theta, jnp.float32(np.pi)))
+        return (x / safe_r) * sin_t, (y / safe_r) * sin_t, jnp.cos(theta), theta <= np.pi
+    if lens_type in (LensType.FISHEYE_STEREOGRAPHIC, LensType.DUAL_FISHEYE_STEREOGRAPHIC):
+        theta = 2.0 * jnp.arctan(r)
+        sin_t = jnp.sin(theta)
+        return (x / safe_r) * sin_t, (y / safe_r) * sin_t, jnp.cos(theta), jnp.ones_like(r, bool)
+    if lens_type in (LensType.FISHEYE_ORTHOGRAPHIC, LensType.DUAL_FISHEYE_ORTHOGRAPHIC):
+        dz = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+        return x, y, dz, r2 <= 1.0
+    raise ValueError(f"not a fisheye lens: {lens_type}")
+
+
+def unproject(plan: ProjPlan, px, py):
+    """Pixel centers -> world exit directions (the inverse of `project`).
+
+    Returns (w_dir [..., 3], valid). The returned direction is the ray
+    PROPAGATION direction whose projection lands on that pixel (so
+    project(plan, w_dir).main recovers py * W + px wherever valid). This is
+    the display-side lens math the reference keeps in src/core/projection.cpp
+    inverses + the GUI inverse-projection shader (projection_shared.h:12-18).
+    """
+    t = plan.lens_type
+    W, H = plan.width, plan.height
+    px = jnp.asarray(px, jnp.float32)
+    py = jnp.asarray(py, jnp.float32)
+    rot = jnp.asarray(plan.rot)
+
+    single = t in (
+        LensType.LINEAR,
+        LensType.FISHEYE_EQUAL_AREA,
+        LensType.FISHEYE_EQUIDISTANT,
+        LensType.FISHEYE_STEREOGRAPHIC,
+        LensType.FISHEYE_ORTHOGRAPHIC,
+    )
+    if single:
+        x = (px - W / 2.0 - plan.shift_x) / plan.scale
+        y = (py - H / 2.0 - plan.shift_y) / plan.scale
+        x = -x  # undo screen handedness
+        if t == LensType.LINEAR:
+            dz = 1.0 / jnp.sqrt(1.0 + x * x + y * y)
+            c = jnp.stack([x * dz, y * dz, dz], axis=-1)
+            valid = jnp.ones_like(x, bool)
+        else:
+            cx, cy, cz, valid = _fisheye_inverse(t, x, y, 1.0)
+            c = jnp.stack([cx, cy, cz], axis=-1)
+            valid = valid & (cz > 0.0)
+        w = -jnp.einsum("ij,...j->...i", rot, c)
+        return w, valid
+
+    if t == LensType.RECTANGULAR:
+        lon = (px - W / 2.0) / plan.scale + plan.az0
+        lat = (H / 2.0 - py) / plan.scale
+        valid = jnp.abs(lat) <= jnp.float32(np.pi / 2)
+        s = jnp.stack(
+            [jnp.cos(lat) * jnp.cos(lon), jnp.cos(lat) * jnp.sin(lon), jnp.sin(lat)],
+            axis=-1,
+        )
+        return -s, valid
+
+    if t in (
+        LensType.DUAL_FISHEYE_EQUAL_AREA,
+        LensType.DUAL_FISHEYE_EQUIDISTANT,
+        LensType.DUAL_FISHEYE_STEREOGRAPHIC,
+        LensType.DUAL_FISHEYE_ORTHOGRAPHIC,
+    ):
+        short_res = min(W // 2, H)
+        r0 = short_res / 2.0
+        cy0 = H / 2.0
+        cx_u = W / 2.0 - r0
+        cx_l = W / 2.0 + r0
+        is_upper = px < W / 2.0
+        x_norm = (py - cy0) / r0
+        y_norm = jnp.where(is_upper, (cx_u - px) / r0, (px - cx_l) / r0)
+        sx, sy, z_hemi, valid = _fisheye_inverse(t, x_norm, y_norm, plan.r_scale)
+        sz = jnp.where(is_upper, z_hemi, -z_hemi)
+        # Renormalize the horizontal part to the hemisphere height.
+        s = jnp.stack([sx, sy, sz], axis=-1)
+        s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-10)
+        return -s, valid & (z_hemi >= 0.0)
+
+    if t == LensType.GLOBE:
+        u = -(px - W / 2.0 - plan.shift_x) / plan.scale
+        v = (py - H / 2.0 - plan.shift_y) / plan.scale
+        q = u * u + v * v
+        D = GLOBE_CAMERA_D
+        disc = 1.0 + q * (1.0 - D * D)
+        valid = disc >= 0.0
+        root = jnp.sqrt(jnp.maximum(disc, 0.0))
+        cz = (-q * D - root) / (q + 1.0)  # camera-near surface point
+        denom = D + cz
+        c = jnp.stack([u * denom, v * denom, cz], axis=-1)
+        c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-10)
+        w = -jnp.einsum("ij,...j->...i", rot, c)
+        return w, valid & (cz < -1.0 / D)
+
+    raise ValueError(f"unknown lens type {t}")
