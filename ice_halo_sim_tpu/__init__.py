@@ -19,3 +19,22 @@ accumulation is per-shard scatter-add + psum instead of queues and atomics.
 __version__ = "0.1.0"
 
 from ice_halo_sim_tpu.config.loader import load_project, load_project_file  # noqa: F401
+from ice_halo_sim_tpu.config.serialize import project_to_dict, project_to_json  # noqa: F401
+from ice_halo_sim_tpu.config.builder import SceneBuilder  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy heavyweight entry points (importing them pulls in JAX)."""
+    if name == "Engine":
+        from ice_halo_sim_tpu.engine.simulator import Engine
+
+        return Engine
+    if name == "Server":
+        from ice_halo_sim_tpu.engine.server import Server
+
+        return Server
+    if name in ("save_checkpoint", "load_checkpoint"):
+        from ice_halo_sim_tpu.engine import checkpoint
+
+        return getattr(checkpoint, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
