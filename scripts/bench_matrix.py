@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Throughput benchmark matrix.
+
+The committed bench harness, mirroring the reference's canonical
+scripts/bench_throughput.py discipline (doc/performance-testing.md:76-170):
+a scene x resolution matrix, steady-state rate excluding compile/warm-up,
+N >= 5 repetitions with median + coefficient of variation, resolution always
+stated. One JSON line per cell.
+
+Scenes mirror the reference bench set (doc/performance-testing.md:382-430):
+  light        single prism, single MS, D65        (bench_light_single_ms)
+  ms_multi     3 crystals, 2 MS layers, prob 0.5   (ms_multi_crystal)
+  complex_sop  complex sum-of-products filter      (ms_multi_crystal_complex_filter)
+  filtered_bd  BD-symmetry raypath filter          (ms_multi_crystal_filtered_bd)
+  pyramid      pyramid-heavy mixed pool            (ms3_mixed_pyramid_heavy)
+
+Usage:
+  python scripts/bench_matrix.py [--scenes light,ms_multi] [--reps 5]
+      [--res 512x256,2048x1024] [--batch 1048576] [--platform tpu]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_CONFIGS = "/root/reference/test/e2e/configs"
+
+# Reference legacy-CPU rates for vs_baseline (doc/performance-testing.md:403-408).
+BASELINES = {
+    "light": 10.45e6,
+    "ms_multi": 1.74e6,
+    "complex_sop": 6.53e6,
+    "filtered_bd": 6.60e6,
+    "pyramid": None,
+}
+
+SCENE_FILES = {
+    "light": "bench_light_single_ms.json",
+    "ms_multi": "ms_multi_crystal.json",
+    "complex_sop": "ms_multi_crystal_complex_filter.json",
+    "filtered_bd": "ms_multi_crystal_filtered_bd.json",
+    "pyramid": "ms3_mixed_pyramid_heavy.json",
+}
+
+
+def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
+    import jax
+
+    from ice_halo_sim_tpu.config.loader import load_project_file
+    from ice_halo_sim_tpu.config.schema import RenderConfig
+    import dataclasses
+
+    cfg = load_project_file(os.path.join(REFERENCE_CONFIGS, SCENE_FILES[scene]))
+    renders = tuple(
+        dataclasses.replace(r, resolution=res) for r in cfg.renders
+    ) or (RenderConfig(id=1, resolution=res),)
+    cfg = cfg.replace(renders=renders)
+
+    from ice_halo_sim_tpu.engine.simulator import Engine
+
+    engine = Engine(cfg, seed=3, batch_size=batch)
+    # Warm-up: compile + first dispatch excluded from the window.
+    engine.run(n_batches=2)
+    jax.block_until_ready(engine.accum)
+
+    n_batches = max(1, min_rays // engine.batch_size)
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        engine.run(n_batches=n_batches)
+        jax.block_until_ready(engine.accum)
+        dt = time.perf_counter() - t0
+        rates.append(n_batches * engine.batch_size / dt)
+    med = statistics.median(rates)
+    cov = statistics.pstdev(rates) / med if med > 0 else 0.0
+    return {
+        "scene": scene,
+        "resolution": list(res),
+        "batch_size": engine.batch_size,
+        "rays_per_rep": n_batches * engine.batch_size,
+        "reps": reps,
+        "median_rays_per_sec": med,
+        "cov": cov,
+        "vs_baseline_cpu": (med / BASELINES[scene]) if BASELINES[scene] else None,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scenes", default="light,ms_multi,complex_sop,filtered_bd,pyramid")
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--res", default="512x256,2048x1024")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--min-rays", type=int, default=None,
+                   help="rays per repetition (default: 64M TPU / 1M CPU)")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    batch = args.batch or (1 << 17 if on_cpu else 1 << 20)
+    min_rays = args.min_rays or ((1 << 20) if on_cpu else (1 << 26))
+
+    for scene in args.scenes.split(","):
+        for res_s in args.res.split(","):
+            w, h = (int(x) for x in res_s.split("x"))
+            cell = run_cell(scene.strip(), (w, h), batch, args.reps, min_rays)
+            print(json.dumps(cell), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

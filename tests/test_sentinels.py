@@ -1,0 +1,149 @@
+"""Regression sentinels ported from the reference's sentinel suite
+(/root/reference/test/regression-sentinel/): each test pins a behavior whose
+violation was (or would be) a real bug class.
+"""
+
+import numpy as np
+import pytest
+
+from ice_halo_sim_tpu.config.loader import load_project, load_project_file
+from ice_halo_sim_tpu.engine.simulator import Engine, largest_remainder_partition
+
+CONFIG_DIR = "/root/reference/test/e2e/configs"
+
+
+def test_impossible_filter_produces_zero_intensity():
+    """MS filter leak (test_ms_filter_leak.py): in Design A, filter-fail
+    exits terminate — they neither accumulate NOR continue to the next MS
+    layer. An impossible raypath filter [1, 1] (a ray cannot exit through
+    basal face 1 twice in a convex prism) must produce a fully black
+    accumulation across BOTH layers."""
+    cfg = load_project_file(f"{CONFIG_DIR}/ms_filter_leak_impossible.json")
+    eng = Engine(cfg, seed=5, batch_size=1 << 14)
+    eng.run(n_batches=2)
+    xyz = eng.raw_xyz(0)
+    assert float(np.abs(xyz).sum()) == 0.0, "impossible filter leaked intensity"
+    landed = np.asarray(eng.accum[-1])
+    assert float(landed.sum()) == 0.0
+
+
+def test_stats_dispatch_invariance():
+    """Crystal/orientation count dispatch invariance
+    (test_crystal_count_dispatch_invariance.py): deterministic counts are
+    config constants — independent of batch size and batch count; the
+    landed energy per ray is dispatch-invariant to Monte-Carlo noise."""
+    doc = {
+        "crystal": [
+            {
+                "id": 1,
+                "type": "prism",
+                "shape": {"height": 1.0},  # deterministic shape
+                "axis": {
+                    "zenith": {"type": "uniform", "mean": 90, "std": 360},
+                    "azimuth": {"type": "uniform", "mean": 0, "std": 360},
+                },
+            }
+        ],
+        "filter": [],
+        "scene": {
+            "light_source": {
+                "type": "sun",
+                "altitude": 25,
+                "spectrum": [{"wavelength": 550, "weight": 1.0}],
+            },
+            "ray_num": 65536,
+            "max_hits": 6,
+            "scattering": [
+                {"prob": 0.0, "entries": [{"crystal": 1, "proportion": 1}]}
+            ],
+        },
+        "render": [
+            {
+                "id": 1,
+                "lens": {"type": "fisheye_equal_area", "fov": 120},
+                "resolution": [64, 64],
+                "view": {"elevation": 25},
+            }
+        ],
+    }
+    cfg = load_project(doc)
+    a = Engine(cfg, seed=5, batch_size=1 << 13)
+    a.run(total_rays=1 << 16)  # 8 batches
+    b = Engine(cfg, seed=5, batch_size=1 << 16)
+    b.run(total_rays=1 << 16)  # 1 batch
+    sa, sb = a.drain_stats(), b.drain_stats()
+    # Deterministic counts: OVERWRITE rule — config constants.
+    assert sa.deterministic_crystal_count == sb.deterministic_crystal_count == 1
+    assert sa.deterministic_orientation_count == sb.deterministic_orientation_count == 0
+    assert sa.rays_traced == sb.rays_traced == 1 << 16
+    # Energy per ray agrees across dispatch grains (MC tolerance).
+    la = float(np.asarray(a.accum[-1]).sum()) / sa.rays_traced
+    lb = float(np.asarray(b.accum[-1]).sum()) / sb.rays_traced
+    assert abs(la - lb) / max(la, 1e-30) < 0.05
+
+
+def test_max_hits_cap_no_crash():
+    """max_hits at the reference cap (kMaxHits = 64, def.hpp:24) traces and
+    accumulates finite values (test_max_hits_crash.py sentinel)."""
+    doc = {
+        "crystal": [
+            {
+                "id": 1,
+                "type": "prism",
+                "shape": {"height": 1.0},
+                "axis": {"zenith": {"type": "uniform", "mean": 90, "std": 360}},
+            }
+        ],
+        "filter": [],
+        "scene": {
+            "light_source": {
+                "type": "sun",
+                "altitude": 25,
+                "spectrum": [{"wavelength": 550, "weight": 1.0}],
+            },
+            "ray_num": 4096,
+            "max_hits": 64,
+            "scattering": [
+                {"prob": 0.0, "entries": [{"crystal": 1, "proportion": 1}]}
+            ],
+        },
+        "render": [
+            {
+                "id": 1,
+                "lens": {"type": "fisheye_equal_area", "fov": 120},
+                "resolution": [32, 32],
+                "view": {"elevation": 25},
+            }
+        ],
+    }
+    cfg = load_project(doc)
+    eng = Engine(cfg, seed=5, batch_size=4096)
+    eng.run(n_batches=1)
+    xyz = eng.raw_xyz(0)
+    assert np.isfinite(xyz).all()
+    assert float(np.asarray(eng.accum[-1]).sum()) > 0
+    with pytest.raises(ValueError):
+        load_project({**doc, "scene": {**doc["scene"], "max_hits": 65}})
+
+
+def test_zero_proportion_gets_zero_rays():
+    """Zero-proportion scatter entries receive no rays and no shape samples
+    (crystal_sample_count_zero_proportion fixture semantics)."""
+    assert largest_remainder_partition(1024, [10.0, 0.0]) == [1024, 0]
+    assert largest_remainder_partition(1024, [0.0, 0.0]) == [0, 0]
+    cfg = load_project_file(f"{CONFIG_DIR}/crystal_sample_count_zero_proportion.json")
+    eng = Engine(cfg, seed=5, batch_size=1 << 13)
+    for plan in eng.layers:
+        for count, entry in zip(plan.setting_counts, cfg.scene.layers[0].entries):
+            if entry.proportion == 0:
+                assert count == 0
+    eng.run(n_batches=1)  # and it traces without error
+
+
+def test_empty_batch_degenerate_config_no_assert():
+    """Degenerate-geometry configs run without crashing and produce finite
+    output (repro_empty_batch_assert / degenerate_pipeline_* family)."""
+    cfg = load_project_file(f"{CONFIG_DIR}/degenerate_pipeline_gaussian_std050.json")
+    eng = Engine(cfg, seed=5, batch_size=1 << 13)
+    eng.run(n_batches=1)
+    assert np.isfinite(eng.raw_xyz(0)).all()
