@@ -96,6 +96,7 @@ class LayerPlan(NamedTuple):
 
 class Stats(NamedTuple):
     rays_traced: int = 0
+    ray_segments: int = 0    # traced bounce segments (reference ray_seg_num)
     landed_weight: float = 0.0
     dropped_cont_weight: float = 0.0
     stochastic_crystal_samples: int = 0
@@ -315,6 +316,7 @@ class Engine:
         )
         self.batch_counter = 0
         self._pending_dropped = []
+        self._pending_segments = []
 
     # ------------------------------------------------------------------
     # Device step
@@ -400,6 +402,7 @@ class Engine:
         dropped_w = jnp.float32(0.0)
 
         carried_mask = jnp.zeros((B,), jnp.uint32)
+        seg_count = jnp.uint32(0)
         n_layers = len(self.layers)
         for li, plan in enumerate(self.layers):
             b_layer = len(plan.setting_idx)
@@ -440,6 +443,11 @@ class Engine:
             H = self.max_hits
             exit_w = exits.w                                  # [B_l, H]
             exit_d = exits.d_world                            # [B_l, H, 3]
+            # Traced segments = bounces until lane death = deepest recorded
+            # path prefix per ray (reference ray_seg_num accounting).
+            seg_count = seg_count + jnp.sum(
+                jnp.max(exits.path_len, axis=1).astype(jnp.uint32)
+            )
 
             # Filter emit gate (Design A: the filter runs simulator-side and a
             # failing exit neither accumulates nor continues,
@@ -570,7 +578,7 @@ class Engine:
                 cont = (cont_d, cont_wv, cont_wl, next_ray_idx, cont_mask)
 
         new_accum = tuple(xyz_acc) + tuple(lane_acc) + (landed,)
-        return new_accum, dropped_w
+        return new_accum, dropped_w, seg_count
 
     # ------------------------------------------------------------------
     # Host loop
@@ -582,16 +590,17 @@ class Engine:
             n_batches = max(1, -(-int(total) // self.batch_size))
         for _ in range(n_batches):
             base = (self.batch_counter * self.batch_size * max(1, len(self.layers) + 1))
-            self.accum, dropped = self._step(
+            self.accum, dropped, segs = self._step(
                 self.accum,
                 jnp.uint32(base & 0xFFFFFFFF),
                 jnp.uint32(self.batch_counter),
             )
             self.batch_counter += 1
-            # Keep `dropped` device-side: a float() here would force a
-            # blocking device->host sync every batch (fatal over a
+            # Keep per-batch counters device-side: a float() here would
+            # force a blocking device->host sync every batch (fatal over a
             # high-latency device link); stats reads drain lazily.
             self._pending_dropped.append(dropped)
+            self._pending_segments.append(segs)
             self.stats = self.stats._replace(
                 rays_traced=self.stats.rays_traced + self.batch_size,
                 stochastic_crystal_samples=self.stats.stochastic_crystal_samples
@@ -619,6 +628,16 @@ class Engine:
             self.stats = self.stats._replace(
                 dropped_cont_weight=self.stats.dropped_cont_weight + total
             )
+        if self._pending_segments:
+            segs = int(np.sum([np.asarray(s, np.int64) for s in self._pending_segments]))
+            self._pending_segments = []
+            self.stats = self.stats._replace(
+                ray_segments=self.stats.ray_segments + segs
+            )
+        # landed_weight is cumulative in the accumulator itself.
+        self.stats = self.stats._replace(
+            landed_weight=float(np.asarray(self.accum[-1]).sum())
+        )
         return self.stats
 
     def snapshot(self):

@@ -61,10 +61,13 @@ class ShardedEngine:
             dev = jax.lax.axis_index("rays").astype(jnp.uint32)
             local_base = batch_base + dev * jnp.uint32(span)
             local_accum = jax.tree.map(lambda a: a[0], accum)
-            new_accum, dropped = self.engine._step_impl(local_accum, local_base, batch_counter)
+            new_accum, dropped, segs = self.engine._step_impl(
+                local_accum, local_base, batch_counter
+            )
             return (
                 jax.tree.map(lambda a: a[None], new_accum),
                 jax.lax.psum(dropped, "rays"),
+                jax.lax.psum(segs, "rays"),
             )
 
         acc_specs = tuple(P("rays") for _ in self.engine.accum)
@@ -73,7 +76,7 @@ class ShardedEngine:
                 sharded_step,
                 mesh=self.mesh,
                 in_specs=(acc_specs, P(), P()),
-                out_specs=(acc_specs, P()),
+                out_specs=(acc_specs, P(), P()),
             ),
             donate_argnums=(0,),
         )
@@ -94,13 +97,17 @@ class ShardedEngine:
         )
         self.batch_counter = 0
         self.dropped_weight = 0.0
+        self.ray_segments = 0
 
     def run(self, n_batches: int = 1):
         for _ in range(n_batches):
             base = jnp.uint32((self.batch_counter * self.n_dev * self.span) & 0xFFFFFFFF)
-            self.accum, dropped = self._step(self.accum, base, jnp.uint32(self.batch_counter))
+            self.accum, dropped, segs = self._step(
+                self.accum, base, jnp.uint32(self.batch_counter)
+            )
             self.batch_counter += 1
         self.dropped_weight += float(dropped)
+        self.ray_segments += int(segs)
         return self
 
     @property

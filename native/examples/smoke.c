@@ -85,6 +85,44 @@ int main(int argc, char** argv) {
          stats.rays_traced, w, h, lit, IHT_FrameGetGeneration(frame));
 
   CHECK(IHT_ReleaseResultFrame(frame) == IHT_OK, "release frame");
+
+  /* Phase 2: scene built in C (no JSON authored by the caller). */
+  CHECK(IHT_MaxFov("fisheye_equal_area") == 360.0, "max fov");
+  IHT_Scene* scene = NULL;
+  CHECK(IHT_SceneCreate(&scene) == IHT_OK, "scene create");
+  CHECK(IHT_SceneAddPrismCrystal(scene, 1, 1.1, 90.0, 360.0) == IHT_OK,
+        "add crystal");
+  CHECK(IHT_SceneSetSun(scene, 30.0, 0.0, 0.5) == IHT_OK, "set sun");
+  CHECK(IHT_SceneSetWavelength(scene, 550.0) == IHT_OK, "set wavelength");
+  CHECK(IHT_SceneSetSimParams(scene, 16384, 6) == IHT_OK, "sim params");
+  {
+    int ids[1] = {1};
+    double props[1] = {100.0};
+    CHECK(IHT_SceneAddScatterLayer(scene, 0.0, ids, props, NULL, 1) == IHT_OK,
+          "scatter layer");
+  }
+  CHECK(IHT_SceneAddRender(scene, 1, "fisheye_equal_area", 120.0, 48, 48,
+                           0.0, 30.0, 0.0) == IHT_OK,
+        "add render");
+  size_t need = IHT_SceneToJson(scene, NULL, 0);
+  CHECK(need > 100, "scene json size");
+
+  CHECK(IHT_SceneCommit(server, scene, &reused) == IHT_OK, "scene commit");
+  CHECK(reused == 0, "new layout must not reuse");
+  CHECK(IHT_WaitIdle(server, 600.0) == IHT_OK, "builder scene idle");
+  IHT_ResultFrame* frame2 = NULL;
+  CHECK(IHT_AcquireResultFrame(server, &frame2) == IHT_OK, "frame 2");
+  CHECK(IHT_FrameGetRenderSize(frame2, 0, &w, &h) == IHT_OK, "size 2");
+  CHECK(w == 48 && h == 48, "builder render size");
+  IHT_Stats stats2;
+  CHECK(IHT_FrameGetStats(frame2, &stats2) == IHT_OK, "stats 2");
+  CHECK(stats2.ray_segments > 0, "segments counted");
+  CHECK(stats2.landed_weight > 0.0, "landed weight");
+  printf("scene_builder OK: %dx%d segs=%lld landed=%.1f\n", w, h,
+         stats2.ray_segments, stats2.landed_weight);
+  CHECK(IHT_ReleaseResultFrame(frame2) == IHT_OK, "release frame 2");
+  CHECK(IHT_SceneDestroy(scene) == IHT_OK, "scene destroy");
+
   CHECK(IHT_DestroyServer(server) == IHT_OK, "destroy server");
   free(rgb);
   free(xyz);

@@ -54,6 +54,7 @@ typedef enum {
  * reference trace_backend.hpp:525-625). */
 typedef struct {
   long long rays_traced;
+  long long ray_segments;
   double landed_weight;
   double dropped_cont_weight;
   long long stochastic_crystal_samples;
@@ -123,6 +124,58 @@ int IHT_IsLegalFace(IHT_CrystalKind kind, int face);
 /* IHT_RaypathValidation for dash/comma-separated face text. kind < 0 =
  * syntax-only. */
 int IHT_ValidateRaypathText(const char* text, int kind);
+
+
+/* ---- scene value building (pure C++, no Python until commit) ---------- */
+
+/* A scene document under construction (the reference's LUMICE_Scene value
+ * builder, lumice.h:734-818). Sections accumulate as JSON fragments; the
+ * assembled document is validated by the config loader at commit. */
+typedef struct IHT_Scene IHT_Scene;
+
+IHT_Status IHT_SceneCreate(IHT_Scene** out);
+IHT_Status IHT_SceneClone(const IHT_Scene* scene, IHT_Scene** out);
+IHT_Status IHT_SceneDestroy(IHT_Scene* scene);
+
+/* Typed conveniences. */
+IHT_Status IHT_SceneAddPrismCrystal(IHT_Scene* scene, int id, double height,
+                                    double zenith_mean_deg,
+                                    double zenith_std_deg);
+IHT_Status IHT_SceneSetSun(IHT_Scene* scene, double altitude_deg,
+                           double azimuth_deg, double diameter_deg);
+IHT_Status IHT_SceneSetWavelength(IHT_Scene* scene, double wl_nm);
+IHT_Status IHT_SceneSetIlluminant(IHT_Scene* scene, const char* name);
+IHT_Status IHT_SceneSetSimParams(IHT_Scene* scene, long long ray_num,
+                                 int max_hits);
+IHT_Status IHT_SceneAddScatterLayer(IHT_Scene* scene, double prob,
+                                    const int* crystal_ids,
+                                    const double* proportions,
+                                    const int* filter_ids /* may be NULL */,
+                                    int n_entries);
+IHT_Status IHT_SceneAddRender(IHT_Scene* scene, int id, const char* lens_type,
+                              double fov_deg, int width, int height,
+                              double view_az_deg, double view_el_deg,
+                              double view_ro_deg);
+
+/* Raw JSON fragments for every section (full schema coverage: pyramid
+ * crystals, filters, raypath_color, render extras...). The fragment is an
+ * object in the on-disk schema for that section. */
+IHT_Status IHT_SceneAddCrystalJson(IHT_Scene* scene, const char* json);
+IHT_Status IHT_SceneAddFilterJson(IHT_Scene* scene, const char* json);
+IHT_Status IHT_SceneAddRenderJson(IHT_Scene* scene, const char* json);
+IHT_Status IHT_SceneSetRaypathColorJson(IHT_Scene* scene, const char* json);
+
+/* Assemble the project JSON. Returns the required byte count (including
+ * NUL); writes up to cap bytes into dst if dst != NULL. */
+size_t IHT_SceneToJson(const IHT_Scene* scene, char* dst, size_t cap);
+
+/* Commit the assembled scene to a server (validates the document). */
+IHT_Status IHT_SceneCommit(IHT_Server* server, const IHT_Scene* scene,
+                           int* out_reused);
+
+/* Maximum field of view in degrees for a lens type name
+ * (reference LUMICE_MaxFov; render_config.cpp:127-141). <= 0 on unknown. */
+double IHT_MaxFov(const char* lens_type);
 
 #ifdef __cplusplus
 } /* extern "C" */

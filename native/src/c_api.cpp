@@ -374,6 +374,7 @@ IHT_Status IHT_AcquireResultFrame(IHT_Server* server, IHT_ResultFrame** out) {
   PyObject* stats = PyObject_GetAttrString(frame, "stats");
   if (stats != nullptr) {
     f->stats.rays_traced = GetLLAttr(stats, "rays_traced");
+    f->stats.ray_segments = GetLLAttr(stats, "ray_segments");
     f->stats.landed_weight = GetDblAttr(stats, "landed_weight");
     f->stats.dropped_cont_weight = GetDblAttr(stats, "dropped_cont_weight");
     f->stats.stochastic_crystal_samples =

@@ -63,6 +63,21 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
 
     from ice_halo_sim_tpu.engine.simulator import Engine
 
+    # Exit buffers are [lanes, max_hits]; multi-scattering layers multiply
+    # lane count by ~min(4.5 * prob, max_hits). Halve the batch until the
+    # total lane-slot estimate fits a conservative HBM budget.
+    def lane_slots(b):
+        total, lanes = 0, b
+        for i, layer in enumerate(cfg.scene.layers):
+            if i > 0:
+                p = cfg.scene.layers[i - 1].prob
+                lanes = int(lanes * min(1.5 * p * 3.0, cfg.scene.max_hits))
+            total += lanes * cfg.scene.max_hits
+        return total
+
+    while batch > 4096 and lane_slots(batch) > 12_000_000:
+        batch //= 2
+
     engine = Engine(cfg, seed=3, batch_size=batch)
     # Warm-up: compile + first dispatch excluded from the window.
     engine.run(n_batches=2)
