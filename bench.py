@@ -70,18 +70,28 @@ def main() -> int:
     cfg = load_project(BENCH_CFG)
     engine = Engine(cfg, seed=7, batch_size=batch)
 
-    # Warm-up: compile + first execution.
+    import numpy as np
+
+    def hard_sync():
+        # A host transfer is the only sync that provably waits on remote /
+        # tunneled device backends (block_until_ready has been observed to
+        # return before execution completes there); the landed-weight array
+        # is a few floats, so the transfer itself is negligible.
+        np.asarray(engine.accum[-1])
+
+    # Warm-up: compile + first execution of both dispatch paths.
     engine.run(n_batches=1)
-    jax.block_until_ready(engine.accum)
+    engine.run(n_batches=engine.steps_per_dispatch)
+    hard_sync()
 
     # Steady-state window: >= 200M-ray-class runs on accelerators
     # (doc/performance-testing.md measurement discipline), ~8 s wall cap.
     t0 = time.time()
     batches = 0
-    chunk = 16 if platform != "cpu" else 4
+    chunk = engine.steps_per_dispatch if platform != "cpu" else 4
     while batches < 1024 and (time.time() - t0) < 8.0:
         engine.run(n_batches=chunk)
-        jax.block_until_ready(engine.accum)
+        hard_sync()
         batches += chunk
     dt = time.time() - t0
     rays = batches * batch

@@ -136,6 +136,16 @@ class Engine:
             self._step_impl,
             donate_argnums=(0,),
         )
+        # Multi-batch dispatch: ONE device execution runs `n_steps` batches
+        # via fori_loop. Each host->device dispatch costs fixed latency
+        # (severe over remote/tunneled devices); amortizing it is the same
+        # discipline as the reference's dispatch grain (LUMICE_DISPATCH_RAY_NUM).
+        self._multi_step = jax.jit(
+            self._multi_step_impl,
+            static_argnums=(2,),
+            donate_argnums=(0,),
+        )
+        self.steps_per_dispatch = 16
 
     # ------------------------------------------------------------------
     # Plan building (host)
@@ -556,23 +566,58 @@ class Engine:
                 cap = next_plan.cont_cap
                 cont_w_all = jnp.where(to_continue, exit_w, 0.0).reshape(-1)
                 cont_mask = cont_w_all > 0.0
-                # Stable compaction: continuing candidates first.
-                order = jnp.argsort(~cont_mask, stable=True)
-                sel = order[:cap]
-                sel_ok = cont_mask[sel]
-                # Feistel shuffle of destination lanes decorrelates the
-                # ray -> crystal pairing in the next layer.
-                dest = rng.feistel_bijection(
-                    jnp.arange(cap, dtype=jnp.uint32), cap, layer_seed ^ rng.NONCE_SHUFFLE
+                # Compaction + Feistel shuffle as ONE multi-operand sort.
+                # Arbitrary-index scatters and gathers are near-serial on
+                # TPU (~12 M updates/s measured); lax.sort is fast
+                # (~300 M rows/s) and carries every payload column with it,
+                # so the whole continuation pass is sort + static slice.
+                # Key: continuing rows get feistel(compact_pos) -- unique in
+                # [0, cap) -- so after sorting, row i of the first `cap`
+                # rows is the continuation assigned to lane i by the Feistel
+                # bijection (the decorrelation contract,
+                # trace_backend.hpp:334-349); dead rows sort to the back.
+                pos = jnp.cumsum(cont_mask.astype(jnp.int32)) - 1
+                ok = cont_mask & (pos < cap)
+                key = jnp.where(
+                    ok,
+                    rng.feistel_bijection(
+                        jnp.where(ok, pos, 0).astype(jnp.uint32), cap,
+                        layer_seed ^ rng.NONCE_SHUFFLE,
+                    ).astype(jnp.int32),
+                    jnp.int32(0x7FFFFFF0),
                 )
-                inv = jnp.zeros(cap, jnp.int32).at[dest].set(jnp.arange(cap, dtype=jnp.int32))
-                sel = sel[inv]
-                sel_ok = sel_ok[inv]
-                ray_of = sel // H
-                cont_d = jnp.where(sel_ok[:, None], exit_d.reshape(-1, 3)[sel], 0.0)
-                cont_wv = jnp.where(sel_ok, cont_w_all[sel], 0.0)
-                cont_wl = wl[ray_of]
-                cont_mask = jnp.where(sel_ok, exit_mask.reshape(-1)[sel], 0)
+                wl_flat = jnp.broadcast_to(wl[:, None], exit_w.shape).reshape(-1)
+                flat_d3 = exit_d.reshape(-1, 3)
+                (_, s_w, s_wl, s_mask, s_dx, s_dy, s_dz) = jax.lax.sort(
+                    (key, cont_w_all, wl_flat,
+                     exit_mask.reshape(-1).astype(jnp.int32),
+                     flat_d3[:, 0], flat_d3[:, 1], flat_d3[:, 2]),
+                    num_keys=1,
+                )
+                n_flat = cont_w_all.shape[0]
+                if n_flat >= cap:
+                    sel_w = s_w[:cap]
+                    cont_d = jnp.stack(
+                        [s_dx[:cap], s_dy[:cap], s_dz[:cap]], axis=-1
+                    )
+                    cont_wl_raw = s_wl[:cap]
+                    cont_mask_raw = s_mask[:cap].astype(jnp.uint32)
+                else:
+                    pad = cap - n_flat
+                    sel_w = jnp.pad(s_w, (0, pad))
+                    cont_d = jnp.pad(
+                        jnp.stack([s_dx, s_dy, s_dz], axis=-1),
+                        ((0, pad), (0, 0)),
+                    )
+                    cont_wl_raw = jnp.pad(s_wl, (0, pad))
+                    cont_mask_raw = jnp.pad(s_mask, (0, pad)).astype(jnp.uint32)
+                live = sel_w > 0.0
+                cont_wv = jnp.where(live, sel_w, 0.0)
+                # Empty lanes keep a benign wavelength: wl=0 would NaN the
+                # Sellmeier IOR, and NaN * 0-weight still poisons sums.
+                cont_wl = jnp.where(live, cont_wl_raw, 550.0)
+                cont_mask = jnp.where(live, cont_mask_raw, 0)
+                cont_d = jnp.where(live[:, None], cont_d, 0.0)
                 dropped_w = dropped_w + jnp.sum(cont_w_all) - jnp.sum(cont_wv)
                 next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
                 cont = (cont_d, cont_wv, cont_wl, next_ray_idx, cont_mask)
@@ -584,40 +629,66 @@ class Engine:
     # Host loop
     # ------------------------------------------------------------------
 
+    def _multi_step_impl(self, accum, counter0, n_steps: int):
+        """`n_steps` batches in ONE device execution (fori_loop over the
+        fused step; per-dispatch latency amortizes across all of them)."""
+        mult = jnp.uint32(
+            (self.batch_size * max(1, len(self.layers) + 1)) & 0xFFFFFFFF
+        )
+
+        def body(i, carry):
+            acc, dropped, segs = carry
+            counter = counter0 + jnp.uint32(i)
+            acc, d, s = self._step_impl(acc, counter * mult, counter)
+            return (acc, dropped + d, segs + s)
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (accum, jnp.float32(0.0), jnp.uint32(0))
+        )
+
     def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:
         if n_batches is None:
             total = total_rays if total_rays is not None else self.cfg.scene.ray_num
             n_batches = max(1, -(-int(total) // self.batch_size))
-        for _ in range(n_batches):
-            base = (self.batch_counter * self.batch_size * max(1, len(self.layers) + 1))
-            self.accum, dropped, segs = self._step(
-                self.accum,
-                jnp.uint32(base & 0xFFFFFFFF),
-                jnp.uint32(self.batch_counter),
-            )
-            self.batch_counter += 1
+        done = 0
+        while done < n_batches:
+            k = min(self.steps_per_dispatch, n_batches - done)
+            if k == 1:
+                base = (self.batch_counter * self.batch_size
+                        * max(1, len(self.layers) + 1))
+                self.accum, dropped, segs = self._step(
+                    self.accum,
+                    jnp.uint32(base & 0xFFFFFFFF),
+                    jnp.uint32(self.batch_counter),
+                )
+            else:
+                self.accum, dropped, segs = self._multi_step(
+                    self.accum, jnp.uint32(self.batch_counter), k
+                )
+            self.batch_counter += k
+            done += k
             # Keep per-batch counters device-side: a float() here would
             # force a blocking device->host sync every batch (fatal over a
             # high-latency device link); stats reads drain lazily.
             self._pending_dropped.append(dropped)
             self._pending_segments.append(segs)
-            self.stats = self.stats._replace(
-                rays_traced=self.stats.rays_traced + self.batch_size,
-                stochastic_crystal_samples=self.stats.stochastic_crystal_samples
-                + sum(
-                    k
-                    for plan in self.layers
-                    for k, det in zip(plan.k_per_setting, plan.deterministic_shape)
-                    if not det
-                ),
-                stochastic_orientation_samples=self.stats.stochastic_orientation_samples
-                + sum(
-                    c
-                    for plan in self.layers
-                    for c, det in zip(plan.setting_counts, plan.deterministic_axis)
-                    if not det
-                ),
-            )
+        self.stats = self.stats._replace(
+            rays_traced=self.stats.rays_traced + n_batches * self.batch_size,
+            stochastic_crystal_samples=self.stats.stochastic_crystal_samples
+            + n_batches * sum(
+                k
+                for plan in self.layers
+                for k, det in zip(plan.k_per_setting, plan.deterministic_shape)
+                if not det
+            ),
+            stochastic_orientation_samples=self.stats.stochastic_orientation_samples
+            + n_batches * sum(
+                c
+                for plan in self.layers
+                for c, det in zip(plan.setting_counts, plan.deterministic_axis)
+                if not det
+            ),
+        )
         return self.stats
 
     def drain_stats(self) -> Stats:
