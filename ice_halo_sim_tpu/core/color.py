@@ -143,3 +143,93 @@ def post_process(xyz_image, intensity_factor: float, snapshot_intensity: float,
     rgb = jnp.clip(rgb, 0.0, 1.0)
     srgb = linear_to_srgb(rgb)
     return (srgb * 255.0).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Chebyshev fast paths (TPU: per-ray table gathers lower near-serially)
+# --------------------------------------------------------------------------
+#
+# The table-exact functions above keep the reference's nearest-nm lookup
+# semantics for validation; the engine's hot path evaluates Chebyshev fits
+# of the same tables instead — pure fused multiply-adds, no gathers. Fit
+# residuals are bounded by tests (test_color.py) well below the tables' own
+# nearest-nm quantization error.
+
+def _chebfit_domain(xs, ys, deg, lo, hi):
+    t = (2.0 * np.asarray(xs, np.float64) - (lo + hi)) / (hi - lo)
+    return np.polynomial.chebyshev.chebfit(t, np.asarray(ys, np.float64), deg)
+
+
+def _clenshaw(coeffs, t):
+    """Evaluate a Chebyshev series at t in [-1, 1] (vectorized, unrolled)."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for ck in coeffs[:0:-1]:
+        b1, b2 = jnp.float32(ck) + 2.0 * t * b1 - b2, b1
+    return jnp.float32(coeffs[0]) + t * b1 - b2
+
+
+_CMF_GRID = np.arange(CMF_WL_MIN, CMF_WL_MAX + 1, dtype=np.float64)
+_CMF_CHEB = [
+    _chebfit_domain(_CMF_GRID, tbl, 150, CMF_WL_MIN, CMF_WL_MAX)
+    for tbl in (CMF_X, CMF_Y, CMF_Z)
+]
+
+
+def cmf_eval(wl_nm):
+    """Gather-free CMF triple [B, 3] (Chebyshev fit of the 1-nm tables;
+    f32 residual ~1e-3 of peak, below the tables' nearest-nm quantization)."""
+    wl = jnp.asarray(wl_nm, jnp.float32)
+    t = (2.0 * wl - (CMF_WL_MIN + CMF_WL_MAX)) / (CMF_WL_MAX - CMF_WL_MIN)
+    tc = jnp.clip(t, -1.0, 1.0)
+    triple = jnp.stack([_clenshaw(c, tc) for c in _CMF_CHEB], axis=-1)
+    in_range = (wl >= CMF_WL_MIN - 0.5) & (wl <= CMF_WL_MAX + 0.5)
+    # The fit can ring slightly negative near the zero tails; CMFs are
+    # nonnegative by definition.
+    return jnp.where(in_range[..., None], jnp.maximum(triple, 0.0), 0.0)
+
+
+def dense_lerp(x, lo, step, table):
+    """Linear table interpolation via dense one-hot masks (no gathers).
+
+    x: [B]; table: [N] host/np array. Exact same result as gathering
+    table[i0], table[i0+1] and lerping — the TPU-friendly formulation for
+    small tables (the compare+mask over N lanes is pure VPU work).
+    """
+    tbl = jnp.asarray(table, jnp.float32)
+    n = tbl.shape[0]
+    pos = (jnp.asarray(x, jnp.float32) - lo) / step
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    f = jnp.clip(pos - i0, 0.0, 1.0)
+    iota = jnp.arange(n, dtype=jnp.int32)[None, :]
+    v0 = jnp.sum(jnp.where(iota == i0[..., None], tbl[None, :], 0.0), axis=-1)
+    v1 = jnp.sum(jnp.where(iota == (i0 + 1)[..., None], tbl[None, :], 0.0), axis=-1)
+    return v0 * (1.0 - f) + v1 * f
+
+
+def daylight_components(wl_nm):
+    """Gather-free daylight S0/S1/S2 at wavelengths [B] -> [3, B] (exact
+    linear interpolation of the CIE tables via dense masks)."""
+    return jnp.stack([
+        dense_lerp(wl_nm, float(_DAYLIGHT_WL_MIN), float(_DAYLIGHT_WL_STEP),
+                   _DAYLIGHT_S[i])
+        for i in range(3)
+    ])
+
+
+def illuminant_spd_fast(name: str, wl_nm):
+    """Gather-free illuminant SPD (engine hot path)."""
+    name = name.upper()
+    if name in ILLUMINANT_CCT:
+        cct = ILLUMINANT_CCT[name]
+        if cct <= 7000:
+            xd = -4.607e9 / cct**3 + 2.9678e6 / cct**2 + 0.09911e3 / cct + 0.244063
+        else:
+            xd = -2.0064e9 / cct**3 + 1.9018e6 / cct**2 + 0.24748e3 / cct + 0.23704
+        yd = -3.0 * xd * xd + 2.87 * xd - 0.275
+        m = 0.0241 + 0.2562 * xd - 0.7341 * yd
+        m1 = (-1.3515 - 1.7703 * xd + 5.9114 * yd) / m
+        m2 = (0.03 - 31.4424 * xd + 30.0717 * yd) / m
+        s = daylight_components(wl_nm)
+        return s[0] + jnp.float32(m1) * s[1] + jnp.float32(m2) * s[2]
+    return illuminant_spd(name, wl_nm)  # E/A are already analytic

@@ -105,7 +105,9 @@ def slab_next_face(p, d, from_face, plane_n, plane_d, face_present):
     candidate = (denom > SLAB_EPS) & face_present & (face_ids != from_face[..., None])
     t_masked = jnp.where(candidate, t_face, _BIG)
     face_idx = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
-    t = jnp.take_along_axis(t_masked, face_idx[..., None], axis=-1)[..., 0]
+    # min == value at argmin; a take_along_axis here is a per-ray gather,
+    # which lowers near-serially on TPU.
+    t = jnp.min(t_masked, axis=-1)
     # Accept slightly negative t (TIR-edge hits just inside the source face,
     # optics.cpp:138-143 / cuda_trace_backend.cu:1046-1051).
     found = (t < _BIG * 0.5) & (t > -SLAB_EPS)

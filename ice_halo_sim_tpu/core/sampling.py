@@ -119,11 +119,17 @@ def invert_lat_lut(xi, theta_nodes, cdf_nodes):
     distribution per call — settings are processed as contiguous segments).
     """
     xi = jnp.clip(xi, cdf_nodes[0], cdf_nodes[-1])
-    lo = jnp.clip(jnp.searchsorted(cdf_nodes, xi, side="right") - 1, 0, N_NODES - 2)
-    c0 = cdf_nodes[lo]
-    c1 = cdf_nodes[lo + 1]
-    t0 = theta_nodes[lo]
-    t1 = theta_nodes[lo + 1]
+    # Dense compare instead of searchsorted, one-hot sums instead of node
+    # gathers: the node table is tiny (257) and per-ray gathers lower
+    # near-serially on TPU.
+    cmp = cdf_nodes[None, :] <= xi[..., None]                    # [B, N]
+    lo = jnp.clip(jnp.sum(cmp.astype(jnp.int32), axis=-1) - 1, 0, N_NODES - 2)
+    oh = jnp.arange(N_NODES, dtype=lo.dtype)[None, :] == lo[..., None]
+    oh1 = jnp.arange(N_NODES, dtype=lo.dtype)[None, :] == (lo + 1)[..., None]
+    c0 = jnp.sum(jnp.where(oh, cdf_nodes[None, :], 0.0), axis=-1)
+    c1 = jnp.sum(jnp.where(oh1, cdf_nodes[None, :], 0.0), axis=-1)
+    t0 = jnp.sum(jnp.where(oh, theta_nodes[None, :], 0.0), axis=-1)
+    t1 = jnp.sum(jnp.where(oh1, theta_nodes[None, :], 0.0), axis=-1)
     denom = c1 - c0
     w = jnp.where(denom > 0, (xi - c0) / jnp.where(denom > 0, denom, 1.0), 0.0)
     return t0 + w * (t1 - t0)
@@ -174,7 +180,13 @@ def sample_lat_lon_roll_row(seed, idx, params: AxisParams, s: int):
         theta_nodes = jnp.asarray(params.lut_theta[s])
         colat = invert_lat_lut(xi, theta_nodes, jnp.asarray(params.lut_cdf[s]))
         phi = jnp.float32(np.pi / 2) - colat
-        flip_p = jnp.asarray(params.lut_flip[s])[lat_lut_bin(colat, theta_nodes)]
+        flip_tbl = jnp.asarray(params.lut_flip[s])
+        fbin = lat_lut_bin(colat, theta_nodes)
+        oh_f = (
+            jnp.arange(flip_tbl.shape[0], dtype=fbin.dtype)[None, :]
+            == fbin[..., None]
+        )
+        flip_p = jnp.sum(jnp.where(oh_f, flip_tbl[None, :], 0.0), axis=-1)
         flip = rng.uniform(seed, idx, 5) < flip_p
 
     # Azimuth (slots 6-7) and roll (slots 8-9).
@@ -300,9 +312,15 @@ def sample_entry(seed, idx, d_local, tris: EntryTris):
     sel = jnp.sum((cdf <= target[..., None]).astype(jnp.int32), axis=-1)
     sel = jnp.clip(sel, 0, w.shape[-1] - 1)
 
-    take = lambda arr: jnp.take_along_axis(  # noqa: E731
-        arr, sel[..., None, None], axis=-2
-    )[..., 0, :]
+    # One-hot masked reductions over the (small) sub-triangle axis — per-ray
+    # take_along_axis gathers lower near-serially on TPU.
+    oh = (
+        jnp.arange(w.shape[-1], dtype=sel.dtype)[None, :] == sel[..., None]
+    )  # [B, T]
+
+    def take(arr):
+        return jnp.sum(jnp.where(oh[..., None], arr, 0.0), axis=-2)
+
     v0 = take(tris.v0)
     e1 = take(tris.e1)
     e2 = take(tris.e2)
@@ -312,12 +330,12 @@ def sample_entry(seed, idx, d_local, tris: EntryTris):
     u = jnp.where(over, 1.0 - u, u)
     v = jnp.where(over, 1.0 - v, v)
     p = v0 + u[..., None] * e1 + v[..., None] * e2
-    face = jnp.take_along_axis(tris.face_idx, sel[..., None], axis=-1)[..., 0]
+    face = jnp.sum(jnp.where(oh, tris.face_idx, 0), axis=-1)
 
     # Log selection probability of the chosen sub-triangle — the score
     # function for REINFORCE-style gradients through the discrete entry
     # choice (gradient.py). Detached lanes (total = 0) return 0.
-    w_sel = jnp.take_along_axis(w, sel[..., None], axis=-1)[..., 0]
+    w_sel = jnp.sum(jnp.where(oh, w, 0.0), axis=-1)
     safe_total = jnp.where(has_entry, total, 1.0)
     log_p = jnp.where(
         has_entry & (w_sel > 0),

@@ -144,11 +144,20 @@ def trace_layer(
         # selection probability that plain autodiff misses.
         w = w * jnp.exp(log_p - jax.lax.stop_gradient(log_p))
 
-    take_face = lambda arr, f: jnp.take_along_axis(  # noqa: E731
-        arr, f[:, None, None] if arr.ndim == 3 else f[:, None], axis=1
-    )
-    n0 = take_face(plane_n, f0)[:, 0, :]  # [B, 3]
-    fn0 = take_face(face_number, f0)[:, 0]
+    # One-hot masked reductions instead of take_along_axis: the face axis is
+    # tiny (<= 20) so the dense compare+sum is a handful of VPU ops, while a
+    # per-ray gather lowers near-serially on TPU (~45 M rows/s measured).
+    nf = plane_n.shape[1]
+    face_iota = jnp.arange(nf, dtype=jnp.int32)
+
+    def take_face(arr, f):
+        oh = face_iota[None, :] == f[:, None]                  # [B, NF]
+        if arr.ndim == 3:
+            return jnp.sum(jnp.where(oh[..., None], arr, 0), axis=1)
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
+    n0 = take_face(plane_n, f0)  # [B, 3]
+    fn0 = take_face(face_number, f0)
 
     path = jnp.zeros((B, max_hits), jnp.int32)
     path = path.at[:, 0].set(fn0)
@@ -165,10 +174,10 @@ def trace_layer(
         t, fi, found = optics.slab_next_face(p, d, from_face, plane_n, plane_d, face_present)
         alive = found & (w > 0.0)
         p = jnp.where(alive[:, None], p + t[:, None] * d, p)
-        fn = take_face(face_number, fi)[:, 0]
+        fn = take_face(face_number, fi)
         path = jnp.where(alive[:, None] & (jnp.arange(max_hits)[None, :] == k), fn[:, None], path)
 
-        n_face = take_face(plane_n, fi)[:, 0, :]
+        n_face = take_face(plane_n, fi)
         d_r, d_t, w_r, w_t, is_tir = optics.fresnel_split(d, n_face, w, n_ior)
         # Refracted exit: defensive outward check (cuda_trace_backend.cu:1090-1094).
         cos_exit = jnp.sum(d_t * n_face, axis=-1)

@@ -52,6 +52,7 @@ from ice_halo_sim_tpu.core import (
     sampling,
     trace,
 )
+from ice_halo_sim_tpu.core import accum as accum_mod
 
 DEFAULT_BATCH = 1 << 17
 DEFAULT_GEOM_CLOCK = 32
@@ -123,11 +124,12 @@ class Engine:
     """
 
     def __init__(self, cfg: ProjectConfig, seed: int = 1, batch_size: int = DEFAULT_BATCH,
-                 geom_clock: int = DEFAULT_GEOM_CLOCK):
+                 geom_clock: int = DEFAULT_GEOM_CLOCK, accum_method: str = "auto"):
         self.cfg = cfg
         self.seed = int(seed) & 0xFFFFFFFF
         self.batch_size = int(batch_size)
         self.geom_clock = int(geom_clock)
+        self.accum_method = accum_method
         self._build_plan()
         self._build_wavelengths()
         self._build_renders()
@@ -312,13 +314,14 @@ class Engine:
         self.proj_plans = [projection.make_proj_plan(r) for r in self.cfg.renders]
 
     def reset(self) -> None:
+        # One combined accumulator per render: [H*W, 3 + n_classes] — XYZ
+        # channels plus one Y lane per color class. A single buffer lets the
+        # whole image pass run as ONE binning op per render.
         n_classes = len(self.color_classes)
-        accum = [jnp.zeros((p.height * p.width, 3), jnp.float32) for p in self.proj_plans]
-        if n_classes:
-            accum += [
-                jnp.zeros((n_classes, p.height * p.width), jnp.float32)
-                for p in self.proj_plans
-            ]
+        accum = [
+            jnp.zeros((p.height * p.width, 3 + n_classes), jnp.float32)
+            for p in self.proj_plans
+        ]
         self.accum = tuple(accum) + (jnp.zeros((len(self.proj_plans),), jnp.float32),)
         self.stats = Stats(
             deterministic_crystal_count=self.det_crystal_count,
@@ -375,13 +378,15 @@ class Engine:
         if self.wl_mode == "discrete":
             n_wl = self.wl_table.shape[0]
             wl_idx = (lane_idx % jnp.uint32(n_wl)).astype(jnp.int32)
-            wl = self.wl_table[wl_idx]
-            w0 = self.wl_weights[wl_idx]
+            # One-hot over the (tiny) spectrum table — no per-ray gathers.
+            oh = jnp.arange(n_wl, dtype=jnp.int32)[None, :] == wl_idx[:, None]
+            wl = jnp.sum(jnp.where(oh, self.wl_table[None, :], 0.0), axis=-1)
+            w0 = jnp.sum(jnp.where(oh, self.wl_weights[None, :], 0.0), axis=-1)
         else:
             seed = jnp.uint32(self.seed) ^ rng.NONCE_WL
             u = rng.uniform(seed, lane_idx, 0)
             wl = 380.0 + u * 400.0
-            w0 = color.illuminant_spd(self.illuminant, wl)
+            w0 = color.illuminant_spd_fast(self.illuminant, wl)
         return wl, w0
 
     def _step_impl(self, accum, batch_base, batch_counter):
@@ -396,7 +401,7 @@ class Engine:
 
         wl, w0 = self._wavelength_draw(ray_idx)
         n_ior = optics.ice_refractive_index(wl)
-        cmf = color.cmf_lookup(wl)  # [B, 3]
+        cmf = color.cmf_eval(wl)  # [B, 3] (gather-free Chebyshev path)
 
         d_world = sampling.sample_sun_dirs(
             seed0 ^ rng.NONCE_SUN, ray_idx,
@@ -407,7 +412,6 @@ class Engine:
         n_renders = len(self.proj_plans)
         n_classes = len(self.color_classes)
         xyz_acc = list(accum[:n_renders])
-        lane_acc = list(accum[n_renders:-1]) if n_classes else []
         landed = accum[-1]
         dropped_w = jnp.float32(0.0)
 
@@ -424,7 +428,7 @@ class Engine:
                 # d_world/w0/wl arrive from the continuation buffer (below).
                 d_world, w0, wl, ray_idx, carried_mask = cont
                 n_ior = optics.ice_refractive_index(wl)
-                cmf = color.cmf_lookup(wl)
+                cmf = color.cmf_eval(wl)
 
             # Orientation: one contiguous segment per setting (static slices;
             # no per-ray parameter gathers).
@@ -536,30 +540,37 @@ class Engine:
             flat_mask = exit_mask.reshape(-1)
             flat_y = (cmf[:, None, 1] * acc_w).reshape(-1)
 
+            # Channel block shared by every render: XYZ + per-class member Y
+            # lanes (same pixels/exposure as the mono image — the
+            # shared-exposure hard invariant, render.cpp:398).
+            chans = [flat_xyz]
+            for cls_mask, combine_all in self.color_classes:
+                if combine_all:
+                    member = (flat_mask & jnp.uint32(cls_mask)) == jnp.uint32(cls_mask)
+                else:
+                    member = (flat_mask & jnp.uint32(cls_mask)) != 0
+                chans.append(jnp.where(member, flat_y, 0.0)[:, None])
+            all_vals = jnp.concatenate(chans, axis=-1) if n_classes else flat_xyz
+
             for r, pplan in enumerate(self.proj_plans):
                 hits = projection.project(pplan, flat_d)
                 main_ok = (hits.main >= 0) & (flat_w > 0.0)
-                pix = jnp.where(main_ok, hits.main, 0)
-                contrib = jnp.where(main_ok[:, None], flat_xyz, 0.0)
-                xyz_acc[r] = xyz_acc[r].at[pix].add(contrib, mode="drop")
+                pix = jnp.where(main_ok, hits.main, -1)
+                contrib = jnp.where(main_ok[:, None], all_vals, 0.0)
+                xyz_acc[r] = accum_mod.accumulate(
+                    xyz_acc[r], pix, contrib, method=self.accum_method
+                )
                 landed = landed.at[r].add(jnp.sum(jnp.where(main_ok, flat_w, 0.0)))
-                ov_ok = (hits.overlap >= 0) & (flat_w > 0.0)
-                ov_pix = jnp.where(ov_ok, hits.overlap, 0)
-                ov_contrib = jnp.where(ov_ok[:, None], flat_xyz, 0.0)
-                xyz_acc[r] = xyz_acc[r].at[ov_pix].add(ov_contrib, mode="drop")
-                # Overlap writes do NOT enter landed weight (render.cpp:376-390).
-
-                # Per-color-class Y lanes (same pixels/exposure as the mono
-                # image — the shared-exposure hard invariant, render.cpp:398).
-                for ci, (cls_mask, combine_all) in enumerate(self.color_classes):
-                    if combine_all:
-                        member = (flat_mask & jnp.uint32(cls_mask)) == jnp.uint32(cls_mask)
-                    else:
-                        member = (flat_mask & jnp.uint32(cls_mask)) != 0
-                    lane_w = jnp.where(member & main_ok, flat_y, 0.0)
-                    lane_acc[r] = lane_acc[r].at[ci, pix].add(lane_w, mode="drop")
-                    ov_lane_w = jnp.where(member & ov_ok, flat_y, 0.0)
-                    lane_acc[r] = lane_acc[r].at[ci, ov_pix].add(ov_lane_w, mode="drop")
+                # Overlap writes do NOT enter landed weight
+                # (render.cpp:376-390); the pass exists only for dual-fisheye
+                # renders with a nonzero overlap band (static skip otherwise).
+                if pplan.max_abs_dz > 0.0:
+                    ov_ok = (hits.overlap >= 0) & (flat_w > 0.0)
+                    ov_pix = jnp.where(ov_ok, hits.overlap, -1)
+                    ov_contrib = jnp.where(ov_ok[:, None], all_vals, 0.0)
+                    xyz_acc[r] = accum_mod.accumulate(
+                        xyz_acc[r], ov_pix, ov_contrib, method=self.accum_method
+                    )
 
             if not is_last:
                 next_plan = self.layers[li + 1]
@@ -622,7 +633,7 @@ class Engine:
                 next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
                 cont = (cont_d, cont_wv, cont_wl, next_ray_idx, cont_mask)
 
-        new_accum = tuple(xyz_acc) + tuple(lane_acc) + (landed,)
+        new_accum = tuple(xyz_acc) + (landed,)
         return new_accum, dropped_w, seg_count
 
     # ------------------------------------------------------------------
@@ -718,7 +729,7 @@ class Engine:
         images = []
         landed = np.asarray(self.accum[-1])
         for r, (pplan, rcfg) in enumerate(zip(self.proj_plans, self.cfg.renders)):
-            xyz = np.asarray(self.accum[r]).reshape(pplan.height, pplan.width, 3)
+            xyz = np.asarray(self.accum[r][:, :3]).reshape(pplan.height, pplan.width, 3)
             use_real = rcfg.ray_color[0] < 0
             img = color.post_process(
                 jnp.asarray(xyz),
@@ -733,15 +744,15 @@ class Engine:
 
     def raw_xyz(self, render_idx: int = 0) -> np.ndarray:
         p = self.proj_plans[render_idx]
-        return np.asarray(self.accum[render_idx]).reshape(p.height, p.width, 3)
+        return np.asarray(self.accum[render_idx][:, :3]).reshape(p.height, p.width, 3)
 
     def lane_y(self, render_idx: int = 0) -> Optional[np.ndarray]:
         """Raw per-color-class Y lanes [C, H, W] for one renderer."""
         if not self.color_classes:
             return None
         p = self.proj_plans[render_idx]
-        arr = self.accum[len(self.proj_plans) + render_idx]
-        return np.asarray(arr).reshape(len(self.color_classes), p.height, p.width)
+        arr = np.asarray(self.accum[render_idx][:, 3:])          # [P, C]
+        return arr.T.reshape(len(self.color_classes), p.height, p.width)
 
     def composite(self, render_idx: int = 0, display_exposure_scale: float = 1.0):
         """Color-class composite image (linear RGB [H, W, 3]) or None."""

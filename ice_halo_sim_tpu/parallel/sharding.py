@@ -121,7 +121,7 @@ class ShardedEngine:
     def raw_xyz(self, render_idx: int = 0) -> np.ndarray:
         drained = self.drained_accum()
         p = self.engine.proj_plans[render_idx]
-        return np.asarray(drained[render_idx]).reshape(p.height, p.width, 3)
+        return np.asarray(drained[render_idx][:, :3]).reshape(p.height, p.width, 3)
 
     def snapshot(self):
         from ice_halo_sim_tpu.core import color
@@ -130,7 +130,7 @@ class ShardedEngine:
         landed = np.asarray(drained[-1])
         images = []
         for r, (pplan, rcfg) in enumerate(zip(self.engine.proj_plans, self.cfg.renders)):
-            xyz = np.asarray(drained[r]).reshape(pplan.height, pplan.width, 3)
+            xyz = np.asarray(drained[r][:, :3]).reshape(pplan.height, pplan.width, 3)
             img = color.post_process(
                 jnp.asarray(xyz), rcfg.intensity_factor, float(landed[r]),
                 rcfg.background, rcfg.ray_color,

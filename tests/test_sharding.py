@@ -41,7 +41,7 @@ SCRIPT = textwrap.dedent(
             base = (counter * 8 * span + dev * span) & 0xFFFFFFFF
             accum, _, _ = e._step(accum, np.uint32(base), np.uint32(counter))
     p = e.proj_plans[0]
-    xyz_ref = np.asarray(accum[0]).reshape(p.height, p.width, 3)
+    xyz_ref = np.asarray(accum[0][:, :3]).reshape(p.height, p.width, 3)
 
     assert np.allclose(xyz_sharded, xyz_ref, rtol=1e-4, atol=1e-3), (
         float(np.abs(xyz_sharded - xyz_ref).max()))
