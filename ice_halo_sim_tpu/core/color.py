@@ -201,9 +201,10 @@ def dense_lerp(x, lo, step, table):
     pos = (jnp.asarray(x, jnp.float32) - lo) / step
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
     f = jnp.clip(pos - i0, 0.0, 1.0)
-    iota = jnp.arange(n, dtype=jnp.int32)[None, :]
-    v0 = jnp.sum(jnp.where(iota == i0[..., None], tbl[None, :], 0.0), axis=-1)
-    v1 = jnp.sum(jnp.where(iota == (i0 + 1)[..., None], tbl[None, :], 0.0), axis=-1)
+    from ice_halo_sim_tpu.core import hw
+
+    v0 = hw.take_rows(tbl, i0)
+    v1 = hw.take_rows(tbl, i0 + 1)
     return v0 * (1.0 - f) + v1 * f
 
 

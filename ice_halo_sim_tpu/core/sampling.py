@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ice_halo_sim_tpu.config.schema import AxisDistribution, DistType
-from ice_halo_sim_tpu.core import rng
+from ice_halo_sim_tpu.core import hw, rng
 from ice_halo_sim_tpu.core.geometry import CrystalGeom
 from ice_halo_sim_tpu.core.latlut import N_NODES
 
@@ -124,12 +124,10 @@ def invert_lat_lut(xi, theta_nodes, cdf_nodes):
     # near-serially on TPU.
     cmp = cdf_nodes[None, :] <= xi[..., None]                    # [B, N]
     lo = jnp.clip(jnp.sum(cmp.astype(jnp.int32), axis=-1) - 1, 0, N_NODES - 2)
-    oh = jnp.arange(N_NODES, dtype=lo.dtype)[None, :] == lo[..., None]
-    oh1 = jnp.arange(N_NODES, dtype=lo.dtype)[None, :] == (lo + 1)[..., None]
-    c0 = jnp.sum(jnp.where(oh, cdf_nodes[None, :], 0.0), axis=-1)
-    c1 = jnp.sum(jnp.where(oh1, cdf_nodes[None, :], 0.0), axis=-1)
-    t0 = jnp.sum(jnp.where(oh, theta_nodes[None, :], 0.0), axis=-1)
-    t1 = jnp.sum(jnp.where(oh1, theta_nodes[None, :], 0.0), axis=-1)
+    c0 = hw.take_rows(cdf_nodes, lo)
+    c1 = hw.take_rows(cdf_nodes, lo + 1)
+    t0 = hw.take_rows(theta_nodes, lo)
+    t1 = hw.take_rows(theta_nodes, lo + 1)
     denom = c1 - c0
     w = jnp.where(denom > 0, (xi - c0) / jnp.where(denom > 0, denom, 1.0), 0.0)
     return t0 + w * (t1 - t0)
@@ -182,11 +180,7 @@ def sample_lat_lon_roll_row(seed, idx, params: AxisParams, s: int):
         phi = jnp.float32(np.pi / 2) - colat
         flip_tbl = jnp.asarray(params.lut_flip[s])
         fbin = lat_lut_bin(colat, theta_nodes)
-        oh_f = (
-            jnp.arange(flip_tbl.shape[0], dtype=fbin.dtype)[None, :]
-            == fbin[..., None]
-        )
-        flip_p = jnp.sum(jnp.where(oh_f, flip_tbl[None, :], 0.0), axis=-1)
+        flip_p = hw.take_rows(flip_tbl, fbin)
         flip = rng.uniform(seed, idx, 5) < flip_p
 
     # Azimuth (slots 6-7) and roll (slots 8-9).
@@ -312,30 +306,23 @@ def sample_entry(seed, idx, d_local, tris: EntryTris):
     sel = jnp.sum((cdf <= target[..., None]).astype(jnp.int32), axis=-1)
     sel = jnp.clip(sel, 0, w.shape[-1] - 1)
 
-    # One-hot masked reductions over the (small) sub-triangle axis — per-ray
-    # take_along_axis gathers lower near-serially on TPU.
-    oh = (
-        jnp.arange(w.shape[-1], dtype=sel.dtype)[None, :] == sel[..., None]
-    )  # [B, T]
-
-    def take(arr):
-        return jnp.sum(jnp.where(oh[..., None], arr, 0.0), axis=-2)
-
-    v0 = take(tris.v0)
-    e1 = take(tris.e1)
-    e2 = take(tris.e2)
+    # Per-ray reads along the (small) sub-triangle axis — platform-dependent
+    # lowering (hw.take_rows): TPU gathers are near-serial.
+    v0 = hw.take_rows(tris.v0, sel, axis=-2)
+    e1 = hw.take_rows(tris.e1, sel, axis=-2)
+    e2 = hw.take_rows(tris.e2, sel, axis=-2)
     u = rng.uniform(seed, idx, 11)
     v = rng.uniform(seed, idx, 12)
     over = u + v > 1.0
     u = jnp.where(over, 1.0 - u, u)
     v = jnp.where(over, 1.0 - v, v)
     p = v0 + u[..., None] * e1 + v[..., None] * e2
-    face = jnp.sum(jnp.where(oh, tris.face_idx, 0), axis=-1)
+    face = hw.take_rows(tris.face_idx, sel, axis=-1)
 
     # Log selection probability of the chosen sub-triangle — the score
     # function for REINFORCE-style gradients through the discrete entry
     # choice (gradient.py). Detached lanes (total = 0) return 0.
-    w_sel = jnp.sum(jnp.where(oh, w, 0.0), axis=-1)
+    w_sel = hw.take_rows(w, sel, axis=-1)
     safe_total = jnp.where(has_entry, total, 1.0)
     log_p = jnp.where(
         has_entry & (w_sel > 0),

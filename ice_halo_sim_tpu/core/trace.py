@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ice_halo_sim_tpu.core import optics, sampling
+from ice_halo_sim_tpu.core import hw, optics, sampling
 
 
 class GeomPool(NamedTuple):
@@ -144,17 +144,10 @@ def trace_layer(
         # selection probability that plain autodiff misses.
         w = w * jnp.exp(log_p - jax.lax.stop_gradient(log_p))
 
-    # One-hot masked reductions instead of take_along_axis: the face axis is
-    # tiny (<= 20) so the dense compare+sum is a handful of VPU ops, while a
-    # per-ray gather lowers near-serially on TPU (~45 M rows/s measured).
-    nf = plane_n.shape[1]
-    face_iota = jnp.arange(nf, dtype=jnp.int32)
-
+    # Per-ray reads along the tiny face axis: gather on CPU, one-hot masked
+    # sum on TPU (hw.take_rows; TPU gathers lower near-serially).
     def take_face(arr, f):
-        oh = face_iota[None, :] == f[:, None]                  # [B, NF]
-        if arr.ndim == 3:
-            return jnp.sum(jnp.where(oh[..., None], arr, 0), axis=1)
-        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+        return hw.take_rows(arr, f, axis=-2 if arr.ndim == 3 else -1)
 
     n0 = take_face(plane_n, f0)  # [B, 3]
     fn0 = take_face(face_number, f0)

@@ -378,10 +378,10 @@ class Engine:
         if self.wl_mode == "discrete":
             n_wl = self.wl_table.shape[0]
             wl_idx = (lane_idx % jnp.uint32(n_wl)).astype(jnp.int32)
-            # One-hot over the (tiny) spectrum table — no per-ray gathers.
-            oh = jnp.arange(n_wl, dtype=jnp.int32)[None, :] == wl_idx[:, None]
-            wl = jnp.sum(jnp.where(oh, self.wl_table[None, :], 0.0), axis=-1)
-            w0 = jnp.sum(jnp.where(oh, self.wl_weights[None, :], 0.0), axis=-1)
+            from ice_halo_sim_tpu.core import hw
+
+            wl = hw.take_rows(self.wl_table, wl_idx)
+            w0 = hw.take_rows(self.wl_weights, wl_idx)
         else:
             seed = jnp.uint32(self.seed) ^ rng.NONCE_WL
             u = rng.uniform(seed, lane_idx, 0)
