@@ -321,6 +321,7 @@ def parse_raypath_color(obj) -> Optional[RaypathColorConfig]:
                 combine_all=(c.get("combine", "any") == "all"),
                 color=tuple(float(x) for x in c.get("color", (1.0, 1.0, 1.0))),
                 visible=bool(c.get("visible", True)),
+                solo=bool(c.get("solo", False)),
                 z_order=int(c.get("z_order", len(classes))),
             )
         )

@@ -405,6 +405,7 @@ class ColorClass:
     combine_all: bool = False  # False = any, True = all
     color: tuple = (1.0, 1.0, 1.0)
     visible: bool = True
+    solo: bool = False   # restrict composite to solo'd classes (display-time)
     z_order: int = 0
 
 

@@ -216,6 +216,7 @@ def raypath_color_to_json(rc) -> Any:
                 "combine": "all" if c.combine_all else "any",
                 "color": list(c.color),
                 "visible": c.visible,
+                "solo": c.solo,
                 "z_order": c.z_order,
             }
             for c in rc.classes

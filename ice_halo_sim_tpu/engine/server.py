@@ -72,6 +72,29 @@ class ResultFrame:
     stats: Stats
     is_idle: bool
     timestamp: float
+    landed: tuple = ()     # per renderer: total landed weight (the
+    #                        snapshot_intensity anchor, render.cpp:482)
+    ev_auto: tuple = ()    # per renderer: adaptive-brightness EV offset
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorClassDisplay:
+    """Display-time appearance of one color class (the mutable subset of
+    LUMICE_ColorClassDisplay: color/visible/solo change without
+    re-simulation; match/combine are structural)."""
+
+    color: tuple
+    visible: bool = True
+    solo: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DrainStatus:
+    """Consumer-side drain status (LUMICE_GetDrainStatus contract): totals
+    are final once drained_epoch == current_epoch."""
+
+    current_epoch: int
+    drained_epoch: int
 
 
 def _layout_key(cfg: ProjectConfig):
@@ -110,6 +133,7 @@ class Server:
         self._cfg: Optional[ProjectConfig] = None
         self._generation = 0
         self._target_rays: Optional[int] = 0   # None = infinite
+        self._composite_ev = 0.0               # display-time composite EV
         self._shutdown = False
         self._thread = threading.Thread(target=self._pump, daemon=True,
                                         name="iht-server-pump")
@@ -177,17 +201,26 @@ class Server:
     def acquire_frame(self) -> Optional[ResultFrame]:
         """Immutable snapshot of the current accumulation (None before the
         first commit)."""
+        from ice_halo_sim_tpu.engine import ev_auto as ev_mod
+
         with self._lock:
             eng = self._engine
             if eng is None:
                 return None
             images = tuple(np.array(i) for i in eng.snapshot())
             raw = tuple(np.array(eng.raw_xyz(r)) for r in range(len(eng.proj_plans)))
+            ev_scale = float(2.0 ** self._composite_ev)
             comps = tuple(
-                (np.array(c) if (c := eng.composite(r)) is not None else None)
+                (np.array(c) if (c := eng.composite(r, display_exposure_scale=ev_scale))
+                 is not None else None)
                 for r in range(len(eng.proj_plans))
             )
             stats = eng.drain_stats()
+            landed = tuple(float(x) for x in np.asarray(eng.accum[-1]))
+            evs = tuple(
+                ev_mod.ev_auto_for_frame(raw[r], landed[r])
+                for r in range(len(raw))
+            )
             return ResultFrame(
                 generation=self._generation,
                 ray_count=stats.rays_traced,
@@ -197,6 +230,8 @@ class Server:
                 stats=stats,
                 is_idle=not self._work_remaining_locked(),
                 timestamp=time.time(),
+                landed=landed,
+                ev_auto=evs,
             )
 
     def sim_ray_count(self) -> int:
@@ -224,7 +259,109 @@ class Server:
                 self._wake.wait(timeout=remaining)
             return True
 
+    # -- display-time color control ------------------------------------------
+
+    def set_raypath_colors(self, displays, z_order=None, mode: Optional[str] = None) -> None:
+        """Display-time update of color-class appearance WITHOUT re-simulation
+        (LUMICE_SetRaypathColors contract, lumice.h:950): `displays` is a
+        sequence of ColorClassDisplay, one per committed class (count must
+        match); `z_order`, when given, must be a permutation of
+        [0, class_count) assigning each class its new drawing rank; `mode`
+        optionally switches the composite mode. All-or-nothing validation."""
+        import dataclasses as _dc
+
+        with self._lock:
+            if self._engine is None or self._cfg is None:
+                raise RuntimeError("no scene committed")
+            rc = self._cfg.raypath_color
+            classes = rc.classes if rc is not None else ()
+            n = len(classes)
+            if len(displays) != n:
+                raise ValueError(
+                    f"class count mismatch: {len(displays)} != committed {n}"
+                )
+            if z_order is not None:
+                if sorted(z_order) != list(range(n)):
+                    raise ValueError("z_order must be a permutation of [0, n)")
+            if mode is not None and mode not in ("dominant", "additive", "painter"):
+                raise ValueError(f"unknown composite mode {mode!r}")
+            if rc is None:
+                return
+            new_classes = tuple(
+                _dc.replace(
+                    cls,
+                    color=tuple(float(x) for x in d.color),
+                    visible=bool(d.visible),
+                    solo=bool(d.solo),
+                    z_order=(int(z_order[i]) if z_order is not None else cls.z_order),
+                )
+                for i, (cls, d) in enumerate(zip(classes, displays))
+            )
+            new_rc = _dc.replace(
+                rc,
+                classes=new_classes,
+                composite_mode=mode if mode is not None else rc.composite_mode,
+            )
+            self._cfg = _dc.replace(self._cfg, raypath_color=new_rc)
+            # Display fields only — the engine's structural plan (match bits)
+            # is untouched; accumulators are kept.
+            self._engine.cfg = self._cfg
+
+    def set_composite_exposure(self, ev_total: float) -> None:
+        """Display-time EV for the composite path only (2^ev inside the
+        composite bake; mono path unaffected — LUMICE_SetCompositeExposure)."""
+        with self._lock:
+            self._composite_ev = float(ev_total)
+
+    def color_class_signal(self) -> list:
+        """Per-class has-signal flags: 1 iff the class's Y lane has any
+        non-zero pixel on any renderer (LUMICE_GetColorClassSignal)."""
+        with self._lock:
+            eng = self._engine
+            if eng is None or not eng.color_classes:
+                return []
+            flags = [0] * len(eng.color_classes)
+            for r in range(len(eng.proj_plans)):
+                lanes = eng.lane_y(r)
+                if lanes is None:
+                    continue
+                for c in range(lanes.shape[0]):
+                    if flags[c] == 0 and np.any(lanes[c] > 0):
+                        flags[c] = 1
+            return flags
+
+    def color_overflow_info(self) -> dict:
+        """Color-predicate capacity overflow of the most recent commit
+        (LUMICE_GetColorOverflowInfo): predicates beyond the component-mask
+        bit budget stop producing bits (coloring degrades, never fails)."""
+        from ice_halo_sim_tpu.engine.simulator import COLOR_PREDICATE_CAP
+
+        with self._lock:
+            count = 0 if self._engine is None else getattr(
+                self._engine, "color_overflow_count", 0
+            )
+            return {"component_overflow_count": count,
+                    "component_capacity": COLOR_PREDICATE_CAP}
+
     # -- lifecycle ----------------------------------------------------------
+
+    def drain_status(self) -> DrainStatus:
+        """O(1) drain status: totals are final once drained_epoch ==
+        current_epoch (LUMICE_GetDrainStatus contract). The epoch is the
+        commit generation; it reads as drained when the committed budget is
+        traced AND no device work is pending."""
+        with self._lock:
+            done = not self._work_remaining_locked()
+            return DrainStatus(
+                current_epoch=self._generation,
+                drained_epoch=self._generation if done else self._generation - 1,
+            )
+
+    def lifecycle(self) -> dict:
+        """Explicit lifecycle + epoch (LUMICE_GetSimLifecycle):
+        QueryServerState is a projection of this."""
+        with self._lock:
+            return {"state": self.state().value, "epoch": self._generation}
 
     def stop(self) -> None:
         """Stop pumping (keeps state; a new commit restarts). Mirrors

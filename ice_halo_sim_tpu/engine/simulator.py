@@ -56,6 +56,9 @@ from ice_halo_sim_tpu.core import accum as accum_mod
 
 DEFAULT_BATCH = 1 << 17
 DEFAULT_GEOM_CLOCK = 32
+# Component-mask bit budget (the reference's GPU component-mask cap; overflow
+# degrades coloring rather than failing the commit — def.hpp:43-51).
+COLOR_PREDICATE_CAP = 32
 
 
 def largest_remainder_partition(total: int, proportions) -> list:
@@ -168,14 +171,21 @@ class Engine:
         by_placement = {}
         class_defs = []
         bit = 0
+        self.color_overflow_count = 0
         rc = self.cfg.raypath_color
         if rc is None:
             return by_placement, class_defs
         for cls in rc.classes:
             mask = 0
             for pred in cls.predicates:
-                if bit >= 32:
-                    raise ValueError("more than 32 raypath-color predicates")
+                if bit >= COLOR_PREDICATE_CAP:
+                    # Degrade instead of failing: excess predicates stop
+                    # producing bits and the overflow is surfaced through
+                    # Server.color_overflow_info (the reference's GPU-cap
+                    # "coloring degraded" contract, LUMICE_GetColorOverflowInfo
+                    # / def.hpp:43-51).
+                    self.color_overflow_count += 1
+                    continue
                 crystal = self.cfg.crystals[pred.crystal_id]
                 param = RF(raypath=pred.raypath) if pred.raypath else NF()
                 plan = filters.build_filter_plan(
