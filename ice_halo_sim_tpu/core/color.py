@@ -170,19 +170,56 @@ def _clenshaw(coeffs, t):
 
 
 _CMF_GRID = np.arange(CMF_WL_MIN, CMF_WL_MAX + 1, dtype=np.float64)
-_CMF_CHEB = [
-    _chebfit_domain(_CMF_GRID, tbl, 150, CMF_WL_MIN, CMF_WL_MAX)
-    for tbl in (CMF_X, CMF_Y, CMF_Z)
-]
+
+# Piecewise Chebyshev: 8 equal-width segments x degree 20 per channel.
+# Worst residual 1.5e-4 of peak — better than a single degree-150 series
+# (2-4e-4) at ~6x fewer per-ray ops: the per-row work is one 8-wide one-hot
+# (segment select, lowered to an MXU matmul against the coefficient matrix)
+# plus a single degree-20 Clenshaw with per-row coefficient vectors.
+_CMF_NSEG = 8
+_CMF_DEG = 20
+
+
+def _build_cmf_piecewise():
+    edges = np.linspace(CMF_WL_MIN, CMF_WL_MAX, _CMF_NSEG + 1)
+    coefs = np.zeros((_CMF_NSEG, 3 * (_CMF_DEG + 1)), np.float32)
+    for s in range(_CMF_NSEG):
+        m = (_CMF_GRID >= edges[s]) & (_CMF_GRID <= edges[s + 1])
+        t = (2 * _CMF_GRID[m] - (edges[s] + edges[s + 1])) / (edges[s + 1] - edges[s])
+        for c, tbl in enumerate((CMF_X, CMF_Y, CMF_Z)):
+            fit = np.polynomial.chebyshev.chebfit(t, np.asarray(tbl, np.float64)[m], _CMF_DEG)
+            coefs[s, c * (_CMF_DEG + 1) : (c + 1) * (_CMF_DEG + 1)] = fit
+    return coefs
+
+
+_CMF_PIECEWISE = _build_cmf_piecewise()
+
+
+def _clenshaw_rows(coefs, t):
+    """Clenshaw with per-row coefficient vectors coefs [B, DEG+1], t [B]."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for k in range(coefs.shape[-1] - 1, 0, -1):
+        b1, b2 = coefs[..., k] + 2.0 * t * b1 - b2, b1
+    return coefs[..., 0] + t * b1 - b2
 
 
 def cmf_eval(wl_nm):
-    """Gather-free CMF triple [B, 3] (Chebyshev fit of the 1-nm tables;
-    f32 residual ~1e-3 of peak, below the tables' nearest-nm quantization)."""
+    """Gather-free CMF triple [B, 3] (piecewise Chebyshev fit of the 1-nm
+    tables; f32 residual ~1.5e-4 of peak, below the tables' own nearest-nm
+    quantization)."""
     wl = jnp.asarray(wl_nm, jnp.float32)
-    t = (2.0 * wl - (CMF_WL_MIN + CMF_WL_MAX)) / (CMF_WL_MAX - CMF_WL_MIN)
-    tc = jnp.clip(t, -1.0, 1.0)
-    triple = jnp.stack([_clenshaw(c, tc) for c in _CMF_CHEB], axis=-1)
+    seg_w = (CMF_WL_MAX - CMF_WL_MIN) / _CMF_NSEG
+    pos = (wl - CMF_WL_MIN) / seg_w
+    s = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, _CMF_NSEG - 1)
+    t = jnp.clip((pos - s) * 2.0 - 1.0, -1.0, 1.0)
+    onehot = (jnp.arange(_CMF_NSEG, dtype=jnp.int32) == s[..., None]).astype(jnp.float32)
+    coefs = onehot @ jnp.asarray(_CMF_PIECEWISE)            # [B, 3*(DEG+1)]
+    n = _CMF_DEG + 1
+    triple = jnp.stack(
+        [_clenshaw_rows(coefs[..., c * n : (c + 1) * n], t) for c in range(3)],
+        axis=-1,
+    )
     in_range = (wl >= CMF_WL_MIN - 0.5) & (wl <= CMF_WL_MAX + 0.5)
     # The fit can ring slightly negative near the zero tails; CMFs are
     # nonnegative by definition.
@@ -210,12 +247,18 @@ def dense_lerp(x, lo, step, table):
 
 def daylight_components(wl_nm):
     """Gather-free daylight S0/S1/S2 at wavelengths [B] -> [3, B] (exact
-    linear interpolation of the CIE tables via dense masks)."""
-    return jnp.stack([
-        dense_lerp(wl_nm, float(_DAYLIGHT_WL_MIN), float(_DAYLIGHT_WL_STEP),
-                   _DAYLIGHT_S[i])
-        for i in range(3)
-    ])
+    linear interpolation of the CIE tables: ONE one-hot over the shared grid
+    lowered to an MXU matmul against the stacked [N, 6] (v0, v1) table)."""
+    tbl = np.stack([np.asarray(_DAYLIGHT_S[i], np.float32) for i in range(3)], axis=-1)
+    pairs = np.concatenate([tbl[:-1], tbl[1:]], axis=-1)          # [N-1, 6]
+    n = pairs.shape[0]
+    pos = (jnp.asarray(wl_nm, jnp.float32) - float(_DAYLIGHT_WL_MIN)) / float(_DAYLIGHT_WL_STEP)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+    f = jnp.clip(pos - i0, 0.0, 1.0)
+    onehot = (jnp.arange(n, dtype=jnp.int32) == i0[..., None]).astype(jnp.float32)
+    v = onehot @ jnp.asarray(pairs)                               # [B, 6]
+    out = v[..., :3] * (1.0 - f)[..., None] + v[..., 3:] * f[..., None]
+    return jnp.moveaxis(out, -1, 0)
 
 
 def illuminant_spd_fast(name: str, wl_nm):

@@ -266,9 +266,15 @@ class EntryTris(NamedTuple):
 
 def build_entry_tris(geom: CrystalGeom) -> EntryTris:
     nf, mv, _ = geom.face_vtx.shape[-3:]
-    v0 = geom.face_vtx[..., 0:1, :]                     # [NF, 1, 3]
-    e1 = geom.face_vtx[..., 1:-1, :] - v0               # [NF, MV-2, 3]
-    e2 = geom.face_vtx[..., 2:, :] - v0
+    # Hexagonal-family faces carry at most 6 distinct vertices (6 side
+    # half-planes bound the cross-section); vertex slots beyond 6 are padding
+    # duplicates that would only add zero-area fan triangles, so slicing to
+    # 6 shrinks the per-ray entry-sampling table 2.5x (T = NF*4).
+    mv = min(mv, 6)
+    face_vtx = geom.face_vtx[..., :mv, :]
+    v0 = face_vtx[..., 0:1, :]                          # [NF, 1, 3]
+    e1 = face_vtx[..., 1:-1, :] - v0                    # [NF, MV-2, 3]
+    e2 = face_vtx[..., 2:, :] - v0
     cross_half = 0.5 * jnp.cross(e1, e2)
     k = jnp.arange(1, mv - 1)
     valid = (k[None, :] + 1 < geom.face_vtx_cnt[..., None]) & geom.face_present[..., None]
@@ -279,7 +285,7 @@ def build_entry_tris(geom: CrystalGeom) -> EntryTris:
     )
     batch_shape = geom.face_vtx.shape[:-3]
     return EntryTris(
-        v0=jnp.broadcast_to(v0, geom.face_vtx[..., 1:-1, :].shape).reshape(batch_shape + (t, 3)),
+        v0=jnp.broadcast_to(v0, e1.shape).reshape(batch_shape + (t, 3)),
         e1=e1.reshape(batch_shape + (t, 3)),
         e2=e2.reshape(batch_shape + (t, 3)),
         cross_half=cross_half.reshape(batch_shape + (t, 3)),

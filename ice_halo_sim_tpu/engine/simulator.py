@@ -228,7 +228,6 @@ class Engine:
             )
             counts = [b * g for b in blocks]
             setting_idx = np.repeat(np.arange(len(settings), dtype=np.int32), counts)
-            k_per = [max(0, b) for b in blocks]
             shape_base = np.arange(b_layer, dtype=np.int32) // g
             axes = []
             shape_kinds = []
@@ -281,6 +280,15 @@ class Engine:
                     filter_ids.append(None)
                 color_plans.append(color_by_placement.get((li, e.crystal_id), []))
             luts = [latlut.build_lat_lut(a.latitude) for a in axes]
+            # Deterministic shapes collapse to ONE pool row per setting: every
+            # geom-clock block would sample the identical crystal, so a single
+            # shared row (broadcast at expand time) is exact — and when the
+            # whole layer is one deterministic setting, the trace kernel takes
+            # the shared-table matmul path.
+            k_per = [
+                0 if c == 0 else (1 if det else max(1, b))
+                for c, b, det in zip(counts, blocks, det_shape)
+            ]
             layers.append(
                 LayerPlan(
                     prob=float(ms.prob),
@@ -461,7 +469,8 @@ class Engine:
             rot = sampling.build_rotation(lon, lat, roll)
 
             exits = trace.trace_layer(
-                layer_seed, ray_idx, d_world, w0, rot, None, pool, n_ior, self.max_hits
+                layer_seed, ray_idx, d_world, w0, rot, None, pool, n_ior, self.max_hits,
+                setting_blocks=tuple(zip(plan.k_per_setting, plan.setting_counts)),
             )
 
             H = self.max_hits
