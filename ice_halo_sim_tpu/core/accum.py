@@ -3,24 +3,37 @@
 The hot sink of the renderer is scatter-adding per-exit XYZ contributions
 into the image (the reference uses CPU stores / GPU atomics,
 accum_shared.h:29-75). On TPU, XLA lowers arbitrary-index scatter to a
-near-serial update loop (~12 M updates/s measured on v5e) — 30x slower
-than everything else combined — while ``jax.lax.sort`` runs at hundreds of
-millions of rows/s. ``sort_accumulate`` therefore reformulates scatter-add
-with NO scatters or gathers at all:
+near-serial update loop (~25 M rows/s measured for 3-channel updates on
+v5e) — far slower than everything else combined — while ``jax.lax.sort``
+runs at hundreds of millions of rows/s. ``sort_accumulate`` therefore
+reformulates scatter-add with NO scatters or gathers at all:
 
   1. Sort the contributions TOGETHER with one marker row per pixel
      (key = pixel * 2 + is_marker, so a pixel's marker lands directly
-     after all its contributions).
+     after all its contributions). Marker-ness is the key's parity — it
+     needs no payload column.
   2. Segmented inclusive scan over the sorted values (chunked two-level
      formulation: in-chunk cumsum/cummax + a tiny cross-chunk carry scan),
      so each marker row holds its pixel's total.
-  3. A second stable sort by not-is-marker compacts the P marker rows to
-     the front IN PIXEL ORDER — that prefix IS the dense image.
+  3. A second sort with key = (pixel if marker else +inf) compacts the P
+     marker rows to the front IN PIXEL ORDER — that prefix IS the dense
+     image.
 
 Requires vals >= 0 (radiance contributions are), because the in-chunk
 "latest group start" is recovered with a running max over the monotone
-cumsum. Accuracy matches direct scatter-add to ~1 ulp of per-pixel sums
-(segment-local arithmetic; no grand-total cancellation).
+cumsum. Accuracy: per-pixel absolute error is bounded by ~ulp(chunk
+prefix sum) — chunk-local, never grand-total, cancellation — which sits
+well below Monte-Carlo noise for any realistic ray budget.
+
+``fold_spectral`` is the production variant. Measured on v5e, sort cost
+scales with payload COLUMNS (~5-6 ms per extra f32 column at 6 M rows),
+so instead of sorting (pixel, X, Y, Z, lane...) rows it packs the
+wavelength-POOL index into the sort key's low bits and carries only the
+scalar weight: the CMF basis is recomputed AFTER the sort from the key
+itself (Chebyshev eval — vector math is ~free next to sort bandwidth).
+Per-class Y lanes ride as one u32 mask column instead of one f32 column
+per class. Wavelength pooling mirrors the reference's per-ray wl pool
+(trace_backend.hpp:521, LUMICE_WL_POOL_SIZE).
 """
 
 from __future__ import annotations
@@ -53,66 +66,158 @@ def sort_accumulate(acc, pix, vals, chunk: int = 2048):
     vals = jnp.where(valid[:, None], vals, 0.0)
 
     keys = jnp.concatenate([key_contrib, jnp.arange(P, dtype=pix.dtype) * 2 + 1])
-    marker = jnp.concatenate(
-        [jnp.zeros(N, jnp.float32), jnp.ones(P, jnp.float32)]
-    )
     M = N + P
     # Pad to a chunk multiple with beyond-everything keys.
     G = -(-M // chunk)
     pad = G * chunk - M
     if pad:
         keys = jnp.concatenate([keys, jnp.full(pad, 2 * P + 2, keys.dtype)])
-        marker = jnp.concatenate([marker, jnp.zeros(pad, jnp.float32)])
     chans = [
         jnp.concatenate([vals[:, c], jnp.zeros(P + pad)]) for c in range(C)
     ]
 
-    s = jax.lax.sort(tuple([keys] + chans + [marker]), num_keys=1)
-    sk, sv, sm = s[0], jnp.stack(s[1 : 1 + C], axis=-1), s[1 + C]
+    s = jax.lax.sort(tuple([keys] + chans), num_keys=1)
+    sk = s[0]
 
-    # Group-start flags on the sorted sequence (pixel id change).
-    first = jnp.concatenate(
-        [jnp.ones(1, bool), (sk[1:] >> 1) != (sk[:-1] >> 1)]
-    )
-
-    # --- chunked segmented inclusive scan ---------------------------------
-    svg = sv.reshape(G, chunk, C)
-    fg = first.reshape(G, chunk)
-    cs = jnp.cumsum(svg, axis=1)                              # [G, L, C]
-    # cs value just BEFORE each row (exclusive prefix).
-    cs_prev = cs - svg
-    # Latest in-chunk group start's exclusive prefix: running max works
-    # because cs is monotone (vals >= 0).
-    base = jax.lax.cummax(
-        jnp.where(fg[..., None], cs_prev, _NEG), axis=1
-    )
-    started_in_chunk = jnp.cumsum(fg, axis=1) > 0             # [G, L]
-    wseg = jnp.where(started_in_chunk[..., None], cs - base, cs)
-
-    # Cross-chunk carry: chain through chunks whose leading group spans.
-    has_start = jnp.any(fg, axis=1)                           # [G]
-    tail = wseg[:, -1, :]                                     # [G, C]
-
-    def carry_step(carry_in, x):
-        tail_g, has_g = x
-        carry_out = tail_g + jnp.where(has_g, 0.0, carry_in)
-        return carry_out, carry_in
-
-    _, carry_in = jax.lax.scan(
-        carry_step, jnp.zeros(C), (tail, has_start)
-    )                                                          # [G, C]
-    seg = wseg + jnp.where(
-        started_in_chunk[..., None], 0.0, carry_in[:, None, :]
-    )
-    seg = seg.reshape(G * chunk, C)
+    seg = _segmented_totals(sk, list(s[1 : 1 + C]), lambda k: k >> 1, chunk)
 
     # --- extract marker rows in pixel order -------------------------------
-    s2 = jax.lax.sort(
-        tuple([1.0 - sm] + [seg[:, c] for c in range(C)]),
-        num_keys=1,
-        is_stable=True,
-    )
+    # Marker for pixel p carries its total; key2 = p for markers, +inf
+    # otherwise, so one (non-stable) sort compacts the dense image to the
+    # front in pixel order.
+    is_marker = (sk & 1) == 1
+    key2 = jnp.where(is_marker, sk >> 1, jnp.int32(0x7FFFFFFF))
+    s2 = jax.lax.sort(tuple([key2] + seg), num_keys=1)
     totals = jnp.stack(s2[1 : 1 + C], axis=-1)[:P]
+    return acc + totals
+
+
+def _segmented_totals(sk, chans, pix_of, chunk):
+    """Shared core: segmented per-pixel sums over sorted rows.
+
+    sk: [M] sorted keys; chans: list of [M] f32 (>= 0); pix_of(sk) -> pixel
+    id per row. Returns list of [M] arrays where the LAST row of each
+    pixel's run holds that pixel's total (chunked two-level scan — see
+    module docstring for the error bound).
+    """
+    M = sk.shape[0]
+    G = M // chunk
+    pix_ids = pix_of(sk)
+    first = jnp.concatenate([jnp.ones(1, bool), pix_ids[1:] != pix_ids[:-1]])
+    fg = first.reshape(G, chunk)
+    started = jnp.cumsum(fg, axis=1) > 0
+    has_start = jnp.any(fg, axis=1)
+
+    sv = jnp.stack(chans, axis=-1)                        # [M, C]
+    C = sv.shape[-1]
+    svg = sv.reshape(G, chunk, C)
+    cs = jnp.cumsum(svg, axis=1)
+    cs_prev = cs - svg
+    base = jax.lax.cummax(jnp.where(fg[..., None], cs_prev, _NEG), axis=1)
+    wseg = jnp.where(started[..., None], cs - base, cs)
+
+    tail = wseg[:, -1, :]                                 # [G, C]
+    a = jnp.broadcast_to((~has_start).astype(sv.dtype)[:, None], tail.shape)
+
+    def compose(p, q):
+        pa, pb = p
+        qa, qb = q
+        return (pa * qa, qa * pb + qb)
+
+    _, carry_incl = jax.lax.associative_scan(compose, (a, tail), axis=0)
+    carry_in = jnp.concatenate([jnp.zeros((1, C), sv.dtype), carry_incl[:-1]], axis=0)
+    seg = wseg + jnp.where(started[..., None], 0.0, carry_in[:, None, :])
+    seg = seg.reshape(M, C)
+    return [seg[:, c] for c in range(C)]
+
+
+def spectral_key_bits(n_pixels: int, k_pool: int) -> bool:
+    """True iff (pixel, wl-idx, marker) packs into a u32 sort key.
+
+    Strictly: the invalid/pad key 0xFFFFFFFF must decode to a pixel id
+    >= n_pixels so dropped rows can never masquerade as the last real
+    pixel's marker — hence (P+1)*2K, not P*2K.
+    """
+    return (n_pixels + 1) * 2 * k_pool <= (1 << 32)
+
+
+def fold_spectral(
+    acc, pix, w, wl_idx, k_pool: int, basis_fn, lane_specs=(), mask=None,
+    chunk: int = 2048,
+):
+    """Scatter-free accumulate of spectral contributions.
+
+    acc:     [P, 3 + L] f32 — XYZ channels + one Y lane per class.
+    pix:     [N] int32 pixel ids (out-of-range rows are dropped).
+    w:       [N] f32 >= 0 contribution weights.
+    wl_idx:  [N] uint32 wavelength-pool indices in [0, k_pool).
+    k_pool:  static power of two; requires spectral_key_bits(P, k_pool).
+    basis_fn: (idx [M] u32) -> [M, 3] f32, the CIE XYZ basis per unit
+             weight for pool entry idx (recomputed post-sort — this is the
+             whole trick: the sort carries ONE f32 payload instead of C).
+    lane_specs: tuple of (mask_bits, combine_all) per class lane.
+    mask:    [N] uint32 per-row component masks (required if lane_specs).
+
+    Key layout (u32): pixel * 2K | wl_idx * 2 | is_marker, so one pixel's
+    contributions (any wl order — addition commutes) land directly before
+    its marker row; invalid/pad rows key to 0xFFFFFFFF past every marker.
+    """
+    P = acc.shape[0]
+    L = len(lane_specs)
+    N = pix.shape[0]
+    assert k_pool & (k_pool - 1) == 0, "k_pool must be a power of two"
+    assert spectral_key_bits(P, k_pool), "pixel*wl key exceeds u32"
+    shift = (2 * k_pool).bit_length() - 1  # log2(2K)
+
+    valid = (pix >= 0) & (pix < P) & (w > 0.0)
+    upix = jnp.where(valid, pix, 0).astype(jnp.uint32)
+    key_c = jnp.where(
+        valid,
+        (upix << shift) | ((wl_idx.astype(jnp.uint32) & jnp.uint32(k_pool - 1)) << 1),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    w = jnp.where(valid, w, 0.0)
+    marker_keys = (
+        (jnp.arange(P, dtype=jnp.uint32) << shift) | jnp.uint32(2 * k_pool - 1)
+    )
+
+    keys = jnp.concatenate([key_c, marker_keys])
+    w_all = jnp.concatenate([w, jnp.zeros(P, w.dtype)])
+    M = N + P
+    G = -(-M // chunk)
+    pad = G * chunk - M
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
+        w_all = jnp.concatenate([w_all, jnp.zeros(pad, w.dtype)])
+
+    operands = [keys, w_all]
+    if L:
+        mask_all = jnp.concatenate(
+            [jnp.where(valid, mask, 0).astype(jnp.uint32),
+             jnp.zeros(P + pad, jnp.uint32)]
+        )
+        operands.append(mask_all)
+    s = jax.lax.sort(tuple(operands), num_keys=1)
+    sk, sw = s[0], s[1]
+
+    basis = basis_fn((sk >> 1) & jnp.uint32(k_pool - 1))   # [M', 3]
+    chans = [basis[:, c] * sw for c in range(3)]
+    if L:
+        smask = s[2]
+        y = chans[1]
+        for bits, combine_all in lane_specs:
+            b = jnp.uint32(bits)
+            member = (
+                (smask & b) == b if combine_all else (smask & b) != 0
+            )
+            chans.append(jnp.where(member, y, 0.0))
+
+    seg = _segmented_totals(sk, chans, lambda k: k >> shift, chunk)
+
+    is_marker = (sk & jnp.uint32(2 * k_pool - 1)) == jnp.uint32(2 * k_pool - 1)
+    key2 = jnp.where(is_marker, sk >> shift, jnp.uint32(0xFFFFFFFF))
+    s2 = jax.lax.sort(tuple([key2] + seg), num_keys=1)
+    totals = jnp.stack(s2[1:], axis=-1)[:P]
     return acc + totals
 
 

@@ -50,7 +50,7 @@ def dump_rays(engine, n_rays: int = 256, layer: int = 0,
     lane = jnp.arange(B, dtype=jnp.uint32)
     ray_idx = jnp.uint32(0xDEB0_0000) + lane  # debug stream epoch
 
-    wl, w0 = engine._wavelength_draw(ray_idx)
+    wl, w0, _wl_idx = engine._wavelength_draw(ray_idx, jnp.uint32(0xDEB0))
     n_ior = optics.ice_refractive_index(wl)
     d_world = sampling.sample_sun_dirs(
         seed0 ^ rng_mod.NONCE_SUN, ray_idx,

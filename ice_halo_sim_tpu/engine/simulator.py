@@ -327,6 +327,33 @@ class Engine:
             self.wl_mode = "discrete"
             self.wl_table = jnp.asarray([w.wl for w in light.spectrum], jnp.float32)
             self.wl_weights = jnp.asarray([w.weight for w in light.spectrum], jnp.float32)
+        # Wavelength POOL size (the reference's per-ray wl pool,
+        # trace_backend.hpp:521): each batch uses k_pool distinct wavelengths
+        # so the accumulation sort can pack the pool index into its key and
+        # rebuild the CMF basis post-sort (accum.fold_spectral). Discrete
+        # spectra use their exact table; continuous illuminants draw a fresh
+        # pool per batch (unbiased across batches).
+        from ice_halo_sim_tpu.utils import env_knobs
+
+        if self.wl_mode == "discrete":
+            n_wl = int(self.wl_table.shape[0])
+            k_pool = 1 << (n_wl - 1).bit_length() if n_wl > 1 else 1
+        else:
+            k_pool = int(env_knobs.get("IHT_WL_POOL", 64))
+            k_pool = 1 << max(0, (k_pool.bit_length() - 1))  # floor to pow2
+        p_max = max(
+            (r.resolution[0] * r.resolution[1] for r in self.cfg.renders),
+            default=1,
+        )
+        while k_pool > 1 and not accum_mod.spectral_key_bits(p_max, k_pool):
+            k_pool //= 2
+        self.k_pool = k_pool
+        # Spectral fold needs the key to fit AND (discrete case) the whole
+        # table to fit the pool; otherwise fall back to dense-value folding.
+        self.spectral_ok = accum_mod.spectral_key_bits(p_max, k_pool) and (
+            self.wl_mode == "illuminant"
+            or int(self.wl_table.shape[0]) <= k_pool
+        )
 
     def _build_renders(self) -> None:
         self.proj_plans = [projection.make_proj_plan(r) for r in self.cfg.renders]
@@ -391,35 +418,72 @@ class Engine:
         tris = jax.vmap(sampling.build_entry_tris)(g)
         return trace.make_geom_pool(g, tris)
 
-    def _wavelength_draw(self, lane_idx):
-        """Per-ray wavelength + weight (the GPU per-ray wl-pool formulation)."""
+    def _wl_from_idx(self, wl_idx, batch_counter):
+        """Wavelength of pool entry `wl_idx` for this batch (pure function —
+        the fold recomputes it post-sort from key bits alone)."""
         if self.wl_mode == "discrete":
-            n_wl = self.wl_table.shape[0]
-            wl_idx = (lane_idx % jnp.uint32(n_wl)).astype(jnp.int32)
             from ice_halo_sim_tpu.core import hw
 
-            wl = hw.take_rows(self.wl_table, wl_idx)
-            w0 = hw.take_rows(self.wl_weights, wl_idx)
+            return hw.take_rows(self.wl_table, wl_idx.astype(jnp.int32))
+        seed = jnp.uint32(self.seed) ^ rng.NONCE_WL
+        u = rng.uniform(seed, wl_idx.astype(jnp.uint32), batch_counter)
+        return 380.0 + u * 400.0
+
+    def _xyz_basis(self, wl_idx, batch_counter):
+        """CIE XYZ response per unit weight for pool entry `wl_idx` [M].
+
+        Evaluates the CMF once on the K pool wavelengths and expands by
+        index with a fused one-hot masked sum — cmf_eval's piecewise-
+        Chebyshev machinery on M ~ 6M fold rows costs ~25 ms/batch, the
+        [M, K] expansion ~2 ms at K = 64."""
+        K = self.k_pool
+        pool_idx = jnp.arange(K, dtype=jnp.uint32)
+        basis_tbl = color.cmf_eval(self._wl_from_idx(pool_idx, batch_counter))
+        oh = wl_idx[:, None] == pool_idx[None, :]             # [M, K]
+        return jnp.stack(
+            [
+                jnp.sum(jnp.where(oh, basis_tbl[None, :, c], 0.0), axis=1)
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+
+    def _wavelength_draw(self, lane_idx, batch_counter):
+        """Per-ray (wavelength, init weight, pool index) — the GPU per-ray
+        wl-pool formulation (trace_backend.hpp:521)."""
+        if self.wl_mode == "discrete":
+            n_wl = self.wl_table.shape[0]
+            wl_idx = (lane_idx % jnp.uint32(n_wl)).astype(jnp.uint32)
+            from ice_halo_sim_tpu.core import hw
+
+            wl = self._wl_from_idx(wl_idx, batch_counter)
+            w0 = hw.take_rows(self.wl_weights, wl_idx.astype(jnp.int32))
         else:
-            seed = jnp.uint32(self.seed) ^ rng.NONCE_WL
+            seed = jnp.uint32(self.seed) ^ rng.NONCE_WL ^ jnp.uint32(0x6A09E667)
             u = rng.uniform(seed, lane_idx, 0)
-            wl = 380.0 + u * 400.0
+            wl_idx = jnp.minimum(
+                (u * self.k_pool).astype(jnp.uint32), jnp.uint32(self.k_pool - 1)
+            )
+            wl = self._wl_from_idx(wl_idx, batch_counter)
             w0 = color.illuminant_spd_fast(self.illuminant, wl)
-        return wl, w0
+        return wl, w0, wl_idx
 
-    def _step_impl(self, accum, batch_base, batch_counter):
-        """One full batch: sample -> trace all layers -> project -> accumulate.
+    def _trace_batch_impl(self, batch_base, batch_counter):
+        """One full batch: sample -> trace all layers -> project.
 
-        accum: tuple of per-render [H*W, 3] XYZ + [R] landed weights (donated).
+        Returns (contribs, landed_add, dropped_w, seg_count) where contribs
+        is a list per render of (pix [N_r] i32, w [N_r] f32, wl_idx [N_r]
+        u32, mask [N_r] u32) SPECTRAL contribution rows — the XYZ/lane
+        channels are expanded at fold time (accum.fold_spectral recomputes
+        the CMF basis after its sort so only one f32 column rides it).
         """
         B = self.batch_size
         lane = jnp.arange(B, dtype=jnp.uint32)
         ray_idx = batch_base + lane
         seed0 = jnp.uint32(self.seed)
 
-        wl, w0 = self._wavelength_draw(ray_idx)
+        wl, w0, wl_idx = self._wavelength_draw(ray_idx, batch_counter)
         n_ior = optics.ice_refractive_index(wl)
-        cmf = color.cmf_eval(wl)  # [B, 3] (gather-free Chebyshev path)
 
         d_world = sampling.sample_sun_dirs(
             seed0 ^ rng.NONCE_SUN, ray_idx,
@@ -429,8 +493,8 @@ class Engine:
 
         n_renders = len(self.proj_plans)
         n_classes = len(self.color_classes)
-        xyz_acc = list(accum[:n_renders])
-        landed = accum[-1]
+        contrib_rows = [[] for _ in range(n_renders)]  # (pix, w, idx, mask)
+        landed_add = [jnp.float32(0.0)] * n_renders
         dropped_w = jnp.float32(0.0)
 
         carried_mask = jnp.zeros((B,), jnp.uint32)
@@ -443,10 +507,12 @@ class Engine:
             pool = self._sample_layer_pool(li, plan, batch_counter)
 
             if li > 0:
-                # d_world/w0/wl arrive from the continuation buffer (below).
-                d_world, w0, wl, ray_idx, carried_mask = cont
+                # d_world/weights/wl arrive from the continuation buffer
+                # (below); the wavelength itself is recomputed from the
+                # carried pool index.
+                d_world, w0, wl_idx, ray_idx, carried_mask = cont
+                wl = self._wl_from_idx(wl_idx, batch_counter)
                 n_ior = optics.ice_refractive_index(wl)
-                cmf = color.cmf_eval(wl)
 
             # Orientation: one contiguous segment per setting (static slices;
             # no per-ray parameter gathers).
@@ -555,40 +621,29 @@ class Engine:
             acc_w = jnp.where(acc_mask, exit_w, 0.0)          # [B_l, H]
             flat_w = acc_w.reshape(-1)
             flat_d = exit_d.reshape(-1, 3)
-            flat_xyz = (cmf[:, None, :] * acc_w[..., None]).reshape(-1, 3)
             flat_mask = exit_mask.reshape(-1)
-            flat_y = (cmf[:, None, 1] * acc_w).reshape(-1)
+            flat_idx = jnp.broadcast_to(wl_idx[:, None], exit_w.shape).reshape(-1)
 
-            # Channel block shared by every render: XYZ + per-class member Y
-            # lanes (same pixels/exposure as the mono image — the
-            # shared-exposure hard invariant, render.cpp:398).
-            chans = [flat_xyz]
-            for cls_mask, combine_all in self.color_classes:
-                if combine_all:
-                    member = (flat_mask & jnp.uint32(cls_mask)) == jnp.uint32(cls_mask)
-                else:
-                    member = (flat_mask & jnp.uint32(cls_mask)) != 0
-                chans.append(jnp.where(member, flat_y, 0.0)[:, None])
-            all_vals = jnp.concatenate(chans, axis=-1) if n_classes else flat_xyz
-
+            # The XYZ + per-class Y-lane channels are NOT expanded here: a
+            # contribution row is (pixel, weight, wl-pool idx, mask) and the
+            # fold rebuilds the channels post-sort (same pixels/exposure as
+            # the mono image — the shared-exposure hard invariant,
+            # render.cpp:398 — holds because lanes reuse the same rows).
             for r, pplan in enumerate(self.proj_plans):
                 hits = projection.project(pplan, flat_d)
                 main_ok = (hits.main >= 0) & (flat_w > 0.0)
                 pix = jnp.where(main_ok, hits.main, -1)
-                contrib = jnp.where(main_ok[:, None], all_vals, 0.0)
-                xyz_acc[r] = accum_mod.accumulate(
-                    xyz_acc[r], pix, contrib, method=self.accum_method
-                )
-                landed = landed.at[r].add(jnp.sum(jnp.where(main_ok, flat_w, 0.0)))
+                w_row = jnp.where(main_ok, flat_w, 0.0)
+                contrib_rows[r].append((pix, w_row, flat_idx, flat_mask))
+                landed_add[r] = landed_add[r] + jnp.sum(w_row)
                 # Overlap writes do NOT enter landed weight
                 # (render.cpp:376-390); the pass exists only for dual-fisheye
                 # renders with a nonzero overlap band (static skip otherwise).
                 if pplan.max_abs_dz > 0.0:
                     ov_ok = (hits.overlap >= 0) & (flat_w > 0.0)
                     ov_pix = jnp.where(ov_ok, hits.overlap, -1)
-                    ov_contrib = jnp.where(ov_ok[:, None], all_vals, 0.0)
-                    xyz_acc[r] = accum_mod.accumulate(
-                        xyz_acc[r], ov_pix, ov_contrib, method=self.accum_method
+                    contrib_rows[r].append(
+                        (ov_pix, jnp.where(ov_ok, flat_w, 0.0), flat_idx, flat_mask)
                     )
 
             if not is_last:
@@ -616,10 +671,12 @@ class Engine:
                     ).astype(jnp.int32),
                     jnp.int32(0x7FFFFFF0),
                 )
-                wl_flat = jnp.broadcast_to(wl[:, None], exit_w.shape).reshape(-1)
+                idx_flat_c = jnp.broadcast_to(
+                    wl_idx[:, None], exit_w.shape
+                ).reshape(-1)
                 flat_d3 = exit_d.reshape(-1, 3)
-                (_, s_w, s_wl, s_mask, s_dx, s_dy, s_dz) = jax.lax.sort(
-                    (key, cont_w_all, wl_flat,
+                (_, s_w, s_idx, s_mask, s_dx, s_dy, s_dz) = jax.lax.sort(
+                    (key, cont_w_all, idx_flat_c,
                      exit_mask.reshape(-1).astype(jnp.int32),
                      flat_d3[:, 0], flat_d3[:, 1], flat_d3[:, 2]),
                     num_keys=1,
@@ -630,7 +687,7 @@ class Engine:
                     cont_d = jnp.stack(
                         [s_dx[:cap], s_dy[:cap], s_dz[:cap]], axis=-1
                     )
-                    cont_wl_raw = s_wl[:cap]
+                    cont_idx_raw = s_idx[:cap]
                     cont_mask_raw = s_mask[:cap].astype(jnp.uint32)
                 else:
                     pad = cap - n_flat
@@ -639,21 +696,79 @@ class Engine:
                         jnp.stack([s_dx, s_dy, s_dz], axis=-1),
                         ((0, pad), (0, 0)),
                     )
-                    cont_wl_raw = jnp.pad(s_wl, (0, pad))
+                    cont_idx_raw = jnp.pad(s_idx, (0, pad))
                     cont_mask_raw = jnp.pad(s_mask, (0, pad)).astype(jnp.uint32)
                 live = sel_w > 0.0
                 cont_wv = jnp.where(live, sel_w, 0.0)
-                # Empty lanes keep a benign wavelength: wl=0 would NaN the
-                # Sellmeier IOR, and NaN * 0-weight still poisons sums.
-                cont_wl = jnp.where(live, cont_wl_raw, 550.0)
+                # Empty lanes keep pool entry 0 — any real pool wavelength is
+                # benign (finite IOR); weights are zero anyway.
+                cont_idx = jnp.where(live, cont_idx_raw, 0).astype(jnp.uint32)
                 cont_mask = jnp.where(live, cont_mask_raw, 0)
                 cont_d = jnp.where(live[:, None], cont_d, 0.0)
                 dropped_w = dropped_w + jnp.sum(cont_w_all) - jnp.sum(cont_wv)
                 next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
-                cont = (cont_d, cont_wv, cont_wl, next_ray_idx, cont_mask)
+                cont = (cont_d, cont_wv, cont_idx, next_ray_idx, cont_mask)
 
-        new_accum = tuple(xyz_acc) + (landed,)
-        return new_accum, dropped_w, seg_count
+        contribs = []
+        for r in range(n_renders):
+            parts = contrib_rows[r]
+            if len(parts) > 1:
+                contribs.append(tuple(
+                    jnp.concatenate([p[c] for p in parts]) for c in range(4)
+                ))
+            else:
+                contribs.append(parts[0])
+        return contribs, jnp.stack(landed_add), dropped_w, seg_count
+
+    def _expand_vals(self, w, wl_idx, mask, batch_counter):
+        """Dense [N, 3+L] channel rows from spectral rows (the non-spectral
+        fold paths: scatter on CPU, legacy sort when the key won't pack)."""
+        basis = self._xyz_basis(wl_idx, batch_counter)        # [N, 3]
+        chans = [basis * w[:, None]]
+        y = basis[:, 1] * w
+        for bits, combine_all in self.color_classes:
+            b = jnp.uint32(bits)
+            member = (mask & b) == b if combine_all else (mask & b) != 0
+            chans.append(jnp.where(member, y, 0.0)[:, None])
+        return jnp.concatenate(chans, axis=-1) if len(chans) > 1 else chans[0]
+
+    def _resolved_accum_method(self) -> str:
+        method = self.accum_method
+        if method == "auto":
+            method = (
+                "sort" if jax.default_backend() in ("tpu", "axon") else "scatter"
+            )
+        if method == "sort" and not self.spectral_ok:
+            method = "sort-legacy"
+        return method
+
+    def _step_impl(self, accum, batch_base, batch_counter):
+        """One batch, folded into the accumulators immediately.
+
+        accum: tuple of per-render [H*W, C] XYZ(+lanes) + [R] landed
+        weights (donated).
+        """
+        contribs, landed_add, dropped_w, seg_count = self._trace_batch_impl(
+            batch_base, batch_counter
+        )
+        method = self._resolved_accum_method()
+        xyz_acc = list(accum[:-1])
+        landed = accum[-1] + landed_add
+        for r, (pix, w, wl_idx, mask) in enumerate(contribs):
+            if method == "sort":
+                xyz_acc[r] = accum_mod.fold_spectral(
+                    xyz_acc[r], pix, w, wl_idx, self.k_pool,
+                    partial(self._xyz_basis, batch_counter=batch_counter),
+                    lane_specs=tuple(self.color_classes),
+                    mask=mask,
+                )
+            else:
+                vals = self._expand_vals(w, wl_idx, mask, batch_counter)
+                xyz_acc[r] = accum_mod.accumulate(
+                    xyz_acc[r], pix, vals,
+                    method="sort" if method == "sort-legacy" else method,
+                )
+        return tuple(xyz_acc) + (landed,), dropped_w, seg_count
 
     # ------------------------------------------------------------------
     # Host loop
@@ -661,7 +776,13 @@ class Engine:
 
     def _multi_step_impl(self, accum, counter0, n_steps: int):
         """`n_steps` batches in ONE device execution (fori_loop over the
-        fused step; per-dispatch latency amortizes across all of them)."""
+        fused step; per-dispatch latency amortizes across all of them).
+
+        (A per-dispatch contribution ring that folded once per dispatch was
+        measured SLOWER than per-batch folds on v5e: XLA sort cost is
+        superlinear in rows past the VMEM-locality knee at ~2-4 M rows, so
+        one 16x sort loses to 16 small sorts.)
+        """
         mult = jnp.uint32(
             (self.batch_size * max(1, len(self.layers) + 1)) & 0xFFFFFFFF
         )

@@ -15,6 +15,9 @@ Knobs (all optional; unset means "use the code default"):
   IHT_PLATFORM       force a JAX platform ("cpu", "tpu").
   IHT_SEED           default RNG seed for CLI/server entry points.
   IHT_SNAPSHOT_EVERY server pump batches between implicit stat drains.
+  IHT_WL_POOL        per-batch wavelength-pool size for continuous spectra
+                     (power of two; reference LUMICE_WL_POOL_SIZE analog —
+                     the accumulation sort packs the pool index into its key).
 """
 
 from __future__ import annotations
@@ -49,6 +52,14 @@ KNOBS: Dict[str, Knob] = {
         Knob("IHT_PLATFORM", "force a JAX platform", str),
         Knob("IHT_SEED", "default RNG seed", int, lo=0),
         Knob("IHT_SNAPSHOT_EVERY", "pump batches between stat drains", int, lo=1),
+        Knob(
+            "IHT_WL_POOL",
+            "per-batch wavelength-pool size for continuous spectra "
+            "(power of two; reference LUMICE_WL_POOL_SIZE analog)",
+            int,
+            lo=1,
+            hi=1 << 16,
+        ),
     ]
 }
 

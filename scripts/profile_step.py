@@ -72,7 +72,7 @@ def main():
         lane = jnp.arange(B, dtype=jnp.uint32)
         ray_idx = lane
         seed0 = jnp.uint32(eng.seed)
-        wl, w0 = eng._wavelength_draw(ray_idx)
+        wl, w0, _wl_idx = eng._wavelength_draw(ray_idx, jnp.uint32(0))
         n_ior = optics.ice_refractive_index(wl)
         d_world = sampling.sample_sun_dirs(
             seed0 ^ rng.NONCE_SUN, ray_idx,
