@@ -67,9 +67,9 @@ def sort_accumulate(acc, pix, vals, chunk: int = 2048):
 
     keys = jnp.concatenate([key_contrib, jnp.arange(P, dtype=pix.dtype) * 2 + 1])
     M = N + P
-    # Pad to a chunk multiple with beyond-everything keys.
-    G = -(-M // chunk)
-    pad = G * chunk - M
+    # Pad to an extraction-block multiple with beyond-everything keys.
+    block = chunk if chunk > 16384 else 16384
+    pad = -(-M // block) * block - M
     if pad:
         keys = jnp.concatenate([keys, jnp.full(pad, 2 * P + 2, keys.dtype)])
     chans = [
@@ -81,15 +81,11 @@ def sort_accumulate(acc, pix, vals, chunk: int = 2048):
 
     seg = _segmented_totals(sk, list(s[1 : 1 + C]), lambda k: k >> 1, chunk)
 
-    # --- extract marker rows in pixel order -------------------------------
-    # Marker for pixel p carries its total; key2 = p for markers, +inf
-    # otherwise, so one (non-stable) sort compacts the dense image to the
-    # front in pixel order.
+    # Marker for pixel p carries its total; key2 = p for markers, past-the-
+    # end otherwise; block-local compaction materializes the dense image.
     is_marker = (sk & 1) == 1
     key2 = jnp.where(is_marker, sk >> 1, jnp.int32(0x7FFFFFFF))
-    s2 = jax.lax.sort(tuple([key2] + seg), num_keys=1)
-    totals = jnp.stack(s2[1 : 1 + C], axis=-1)[:P]
-    return acc + totals
+    return acc + _marker_extract(key2, seg, P, block)
 
 
 def _segmented_totals(sk, chans, pix_of, chunk):
@@ -129,6 +125,51 @@ def _segmented_totals(sk, chans, pix_of, chunk):
     seg = wseg + jnp.where(started[..., None], 0.0, carry_in[:, None, :])
     seg = seg.reshape(M, C)
     return [seg[:, c] for c in range(C)]
+
+
+def _marker_extract(key2, seg_cols, P: int, block: int = 16384):
+    """Dense [P, C] from scanned rows, WITHOUT a second global sort.
+
+    key2: [M] = pixel id for marker rows, >= P for every other row, where
+    the rows are still in sort1's GLOBAL key order (so markers appear in
+    pixel order and all >= P rows trail them). Measured on v5e, block-local
+    sorts are 2-4x cheaper than global ones (VMEM-local vs HBM merge
+    rounds), so:
+
+      1. Row-sort [M/block, block] blocks by key2 — compacts each block's
+         markers to its front in pixel order (~2-5 ms vs ~18 ms global).
+      2. Because every pixel has exactly one marker and markers are in
+         global pixel order, block g's markers are exactly the dense rows
+         [start_g, start_g + m_g) with start = exclusive-cumsum of per-block
+         marker counts.
+      3. A forward fori_loop of dynamic_update_slice writes each block's
+         full `block` rows at start_g: garbage rows past a block's markers
+         land in LATER blocks' ranges and are overwritten by them (a later
+         block never writes below its own start, so valid rows are never
+         clobbered). The output is padded by one block to absorb the last
+         block's tail, then sliced to P.
+    """
+    M = key2.shape[0]
+    G = M // block
+    assert G * block == M, "caller pads M to a block multiple"
+    k2 = key2.reshape(G, block)
+    is_m = k2 < P
+    m_cnt = jnp.sum(is_m.astype(jnp.int32), axis=1)
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(m_cnt)[:-1]]
+    )
+    s = jax.lax.sort(
+        tuple([k2] + [c.reshape(G, block) for c in seg_cols]),
+        dimension=1,
+        num_keys=1,
+    )
+    vals = jnp.stack(s[1:], axis=-1)                      # [G, block, C]
+    dense = jnp.zeros((P + block, vals.shape[-1]), vals.dtype)
+
+    def body(g, d):
+        return jax.lax.dynamic_update_slice(d, vals[g], (start[g], 0))
+
+    return jax.lax.fori_loop(0, G, body, dense)[:P]
 
 
 def spectral_key_bits(n_pixels: int, k_pool: int) -> bool:
@@ -184,8 +225,8 @@ def fold_spectral(
     keys = jnp.concatenate([key_c, marker_keys])
     w_all = jnp.concatenate([w, jnp.zeros(P, w.dtype)])
     M = N + P
-    G = -(-M // chunk)
-    pad = G * chunk - M
+    block = chunk if chunk > 16384 else 16384
+    pad = -(-M // block) * block - M
     if pad:
         keys = jnp.concatenate([keys, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
         w_all = jnp.concatenate([w_all, jnp.zeros(pad, w.dtype)])
@@ -216,9 +257,7 @@ def fold_spectral(
 
     is_marker = (sk & jnp.uint32(2 * k_pool - 1)) == jnp.uint32(2 * k_pool - 1)
     key2 = jnp.where(is_marker, sk >> shift, jnp.uint32(0xFFFFFFFF))
-    s2 = jax.lax.sort(tuple([key2] + seg), num_keys=1)
-    totals = jnp.stack(s2[1:], axis=-1)[:P]
-    return acc + totals
+    return acc + _marker_extract(key2, seg, P, block)
 
 
 def accumulate(acc, pix, vals, method: str = "auto"):
