@@ -172,6 +172,60 @@ def _marker_extract(key2, seg_cols, P: int, block: int = 16384):
     return jax.lax.fori_loop(0, G, body, dense)[:P]
 
 
+def compact_rows(valid, cols, keep: int, block: int = 16384):
+    """Compact rows flagged `valid` into a static-length prefix.
+
+    cols: list of [N] 1-D arrays (mixed dtypes). Returns (sliced_cols,
+    n_valid): each sliced col is [keep] holding all valid rows first (in
+    original order by block) when n_valid <= keep — the caller must fall
+    back to the uncompacted arrays otherwise (rows past `keep` are simply
+    cut off by the slice).
+
+    Same block-rowsort + forward-overwrite pattern as _marker_extract:
+    block g's sorted rows are written whole at start_g = cumsum of valid
+    counts; a block's valid prefix occupies exactly [start_g, start_{g+1})
+    which no later block touches, its invalid suffix lands in later blocks'
+    ranges and is overwritten, and positions past the last write keep the
+    zero init — so every output row is either a unique valid row or an
+    all-zero/invalid row (zero weight folds to nothing).
+
+    Purpose: fold cost is dominated by sort rows, and scenes with filters,
+    probability gates, or dual-fisheye overlap bands leave most contribution
+    rows dead (weight 0). The reference's GPUs skip those via thread
+    divergence (cuda_trace_backend.cu filter gate); on TPU this compaction
+    is the fixed-shape equivalent.
+    """
+    N = valid.shape[0]
+    G = -(-N // block)
+    pad = G * block - N
+    key = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+    if pad:
+        key = jnp.concatenate([key, jnp.ones(pad, jnp.uint32)])
+        cols = [
+            jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in cols
+        ]
+    kb = key.reshape(G, block)
+    cnt = jnp.sum((kb == 0).astype(jnp.int32), axis=1)
+    start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1]])
+    s = jax.lax.sort(
+        tuple([kb] + [c.reshape(G, block) for c in cols]),
+        dimension=1,
+        num_keys=1,
+    )
+    outs = tuple(
+        jnp.zeros((G * block + block,), c.dtype) for c in cols
+    )
+
+    def body(g, outs):
+        return tuple(
+            jax.lax.dynamic_update_slice(o, s[i + 1][g], (start[g],))
+            for i, o in enumerate(outs)
+        )
+
+    outs = jax.lax.fori_loop(0, G, body, outs)
+    return [o[:keep] for o in outs], jnp.sum(cnt)
+
+
 def spectral_key_bits(n_pixels: int, k_pool: int) -> bool:
     """True iff (pixel, wl-idx, marker) packs into a u32 sort key.
 

@@ -139,6 +139,7 @@ class Engine:
         self.reset()
         self._step = jax.jit(
             self._step_impl,
+            static_argnums=(3,),
             donate_argnums=(0,),
         )
         # Multi-batch dispatch: ONE device execution runs `n_steps` batches
@@ -147,10 +148,26 @@ class Engine:
         # discipline as the reference's dispatch grain (LUMICE_DISPATCH_RAY_NUM).
         self._multi_step = jax.jit(
             self._multi_step_impl,
-            static_argnums=(2,),
+            static_argnums=(2, 3),
             donate_argnums=(0,),
         )
         self.steps_per_dispatch = 16
+        # Dead-row compaction before the fold (calibrated from the first
+        # dispatch's measured live counts; None per render = no compaction).
+        self._compact_keep = None
+        from ice_halo_sim_tpu.utils import env_knobs
+
+        self._compact_enabled = str(env_knobs.get("IHT_COMPACT", "1")) not in (
+            "0", "off", "false",
+        )
+        # Static contribution-row count per render per batch.
+        self._rows_per_render = [
+            sum(
+                len(plan.setting_idx) * self.max_hits
+                for plan in self.layers
+            ) * (2 if p.max_abs_dz > 0.0 else 1)
+            for p in self.proj_plans
+        ]
 
     # ------------------------------------------------------------------
     # Plan building (host)
@@ -742,39 +759,71 @@ class Engine:
             method = "sort-legacy"
         return method
 
-    def _step_impl(self, accum, batch_base, batch_counter):
+    def _step_impl(self, accum, batch_base, batch_counter, keep=None):
         """One batch, folded into the accumulators immediately.
 
         accum: tuple of per-render [H*W, C] XYZ(+lanes) + [R] landed
-        weights (donated).
+        weights (donated). keep: optional static tuple per render — compact
+        contribution rows to that many before the fold (None entry = no
+        compaction for that render); a batch whose live rows overflow its
+        `keep` falls back to the uncompacted fold via lax.cond, so the
+        result is exact either way.
+
+        Returns (accum', dropped_w, seg_count, live_counts[R]) — live counts
+        feed the host-side compaction calibration.
         """
         contribs, landed_add, dropped_w, seg_count = self._trace_batch_impl(
             batch_base, batch_counter
         )
         method = self._resolved_accum_method()
+        n_classes = len(self.color_classes)
         xyz_acc = list(accum[:-1])
         landed = accum[-1] + landed_add
+        live_counts = []
         for r, (pix, w, wl_idx, mask) in enumerate(contribs):
-            if method == "sort":
-                xyz_acc[r] = accum_mod.fold_spectral(
-                    xyz_acc[r], pix, w, wl_idx, self.k_pool,
-                    partial(self._xyz_basis, batch_counter=batch_counter),
-                    lane_specs=tuple(self.color_classes),
-                    mask=mask,
-                )
-            else:
+            live = jnp.sum((w > 0.0).astype(jnp.uint32))
+            live_counts.append(live)
+            kr = keep[r] if keep is not None else None
+
+            def fold(acc, pix=pix, w=w, wl_idx=wl_idx, mask=mask):
+                if method == "sort":
+                    return accum_mod.fold_spectral(
+                        acc, pix, w, wl_idx, self.k_pool,
+                        partial(self._xyz_basis, batch_counter=batch_counter),
+                        lane_specs=tuple(self.color_classes),
+                        mask=mask,
+                    )
                 vals = self._expand_vals(w, wl_idx, mask, batch_counter)
-                xyz_acc[r] = accum_mod.accumulate(
-                    xyz_acc[r], pix, vals,
+                return accum_mod.accumulate(
+                    acc, pix, vals,
                     method="sort" if method == "sort-legacy" else method,
                 )
-        return tuple(xyz_acc) + (landed,), dropped_w, seg_count
+
+            if kr is None or method != "sort":
+                xyz_acc[r] = fold(xyz_acc[r])
+            else:
+                cols = [pix, w, wl_idx] + ([mask] if n_classes else [])
+                sl, n_valid = accum_mod.compact_rows(w > 0.0, cols, kr)
+
+                def fold_compacted(acc, sl=sl):
+                    return fold(
+                        acc, pix=sl[0], w=sl[1], wl_idx=sl[2],
+                        mask=sl[3] if n_classes else None,
+                    )
+
+                xyz_acc[r] = jax.lax.cond(
+                    n_valid <= jnp.int32(kr), fold_compacted, fold, xyz_acc[r]
+                )
+        return (
+            tuple(xyz_acc) + (landed,), dropped_w, seg_count,
+            jnp.stack(live_counts),
+        )
 
     # ------------------------------------------------------------------
     # Host loop
     # ------------------------------------------------------------------
 
-    def _multi_step_impl(self, accum, counter0, n_steps: int):
+    def _multi_step_impl(self, accum, counter0, n_steps: int, keep=None):
         """`n_steps` batches in ONE device execution (fori_loop over the
         fused step; per-dispatch latency amortizes across all of them).
 
@@ -786,15 +835,18 @@ class Engine:
         mult = jnp.uint32(
             (self.batch_size * max(1, len(self.layers) + 1)) & 0xFFFFFFFF
         )
+        n_renders = len(self.proj_plans)
 
         def body(i, carry):
-            acc, dropped, segs = carry
+            acc, dropped, segs, live = carry
             counter = counter0 + jnp.uint32(i)
-            acc, d, s = self._step_impl(acc, counter * mult, counter)
-            return (acc, dropped + d, segs + s)
+            acc, d, s, lv = self._step_impl(acc, counter * mult, counter, keep)
+            return (acc, dropped + d, segs + s, live + lv)
 
         return jax.lax.fori_loop(
-            0, n_steps, body, (accum, jnp.float32(0.0), jnp.uint32(0))
+            0, n_steps, body,
+            (accum, jnp.float32(0.0), jnp.uint32(0),
+             jnp.zeros((n_renders,), jnp.uint32)),
         )
 
     def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:
@@ -804,17 +856,19 @@ class Engine:
         done = 0
         while done < n_batches:
             k = min(self.steps_per_dispatch, n_batches - done)
+            keep = self._compact_keep
             if k == 1:
                 base = (self.batch_counter * self.batch_size
                         * max(1, len(self.layers) + 1))
-                self.accum, dropped, segs = self._step(
+                self.accum, dropped, segs, live = self._step(
                     self.accum,
                     jnp.uint32(base & 0xFFFFFFFF),
                     jnp.uint32(self.batch_counter),
+                    keep,
                 )
             else:
-                self.accum, dropped, segs = self._multi_step(
-                    self.accum, jnp.uint32(self.batch_counter), k
+                self.accum, dropped, segs, live = self._multi_step(
+                    self.accum, jnp.uint32(self.batch_counter), k, keep
                 )
             self.batch_counter += k
             done += k
@@ -823,6 +877,8 @@ class Engine:
             # high-latency device link); stats reads drain lazily.
             self._pending_dropped.append(dropped)
             self._pending_segments.append(segs)
+            if keep is None:
+                self._maybe_calibrate_compaction(live, k)
         self.stats = self.stats._replace(
             rays_traced=self.stats.rays_traced + n_batches * self.batch_size,
             stochastic_crystal_samples=self.stats.stochastic_crystal_samples
@@ -841,6 +897,38 @@ class Engine:
             ),
         )
         return self.stats
+
+    def _maybe_calibrate_compaction(self, live, n_steps: int) -> None:
+        """Pick per-render dead-row compaction sizes from measured live
+        counts (one host sync, after the first dispatch).
+
+        Compaction pays when well under ~60% of contribution rows are live
+        (the prepass costs one extra block rowsort); margin 1.35x absorbs
+        per-batch Monte-Carlo fluctuation, and an overflowing batch falls
+        back to the uncompacted fold inside the step (lax.cond), so a bad
+        calibration costs speed, never correctness.
+        """
+        if not self._compact_enabled or self._compact_keep is not None:
+            return
+        if self._resolved_accum_method() != "sort":
+            self._compact_keep = tuple([None] * len(self.proj_plans))
+            return
+        live_avg = np.asarray(live, np.float64) / max(1, n_steps)
+        block = 16384
+        keep = []
+        for r, n_rows in enumerate(self._rows_per_render):
+            target = int(np.ceil(live_avg[r] * 1.35 / block)) * block
+            if n_rows >= 2 * block and target <= 0.6 * n_rows:
+                keep.append(max(block, target))
+            else:
+                keep.append(None)
+        # All-None must stay literal None: it is a jit static argument, and
+        # (None, ...) would needlessly recompile the identical program.
+        self._compact_keep = (
+            tuple(keep) if any(k is not None for k in keep) else None
+        )
+        if self._compact_keep is None:
+            self._compact_enabled = False
 
     def drain_stats(self) -> Stats:
         """Fold pending device-side counters into stats (one sync)."""

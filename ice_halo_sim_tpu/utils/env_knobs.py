@@ -18,6 +18,8 @@ Knobs (all optional; unset means "use the code default"):
   IHT_WL_POOL        per-batch wavelength-pool size for continuous spectra
                      (power of two; reference LUMICE_WL_POOL_SIZE analog —
                      the accumulation sort packs the pool index into its key).
+  IHT_COMPACT        "0"/"off" disables the calibrated dead-row compaction
+                     prepass before the accumulation fold.
 """
 
 from __future__ import annotations
@@ -52,6 +54,12 @@ KNOBS: Dict[str, Knob] = {
         Knob("IHT_PLATFORM", "force a JAX platform", str),
         Knob("IHT_SEED", "default RNG seed", int, lo=0),
         Knob("IHT_SNAPSHOT_EVERY", "pump batches between stat drains", int, lo=1),
+        Knob(
+            "IHT_COMPACT",
+            "disable ('0'/'off') the calibrated dead-row compaction prepass "
+            "before the accumulation fold",
+            str,
+        ),
         Knob(
             "IHT_WL_POOL",
             "per-batch wavelength-pool size for continuous spectra "

@@ -51,6 +51,10 @@ SCENE_FILES = {
 def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
     import jax
 
+    # Persistent compile cache keeps re-runs warm.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/iht_jax_cache"))
+
     from ice_halo_sim_tpu.config.loader import load_project_file
     from ice_halo_sim_tpu.config.schema import RenderConfig
     import dataclasses
@@ -78,17 +82,26 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
     while batch > 4096 and lane_slots(batch) > 12_000_000:
         batch //= 2
 
+    import numpy as np
+
     engine = Engine(cfg, seed=3, batch_size=batch)
+
+    # Force a device->host transfer to synchronize: block_until_ready has
+    # been observed to return early on tunneled device backends (same
+    # discipline as bench.py).
+    def sync():
+        np.asarray(engine.accum[-1])
+
     # Warm-up: compile + first dispatch excluded from the window.
     engine.run(n_batches=2)
-    jax.block_until_ready(engine.accum)
+    sync()
 
     n_batches = max(1, min_rays // engine.batch_size)
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
         engine.run(n_batches=n_batches)
-        jax.block_until_ready(engine.accum)
+        sync()
         dt = time.perf_counter() - t0
         rates.append(n_batches * engine.batch_size / dt)
     med = statistics.median(rates)

@@ -59,7 +59,7 @@ def main():
 
     # Full step (single dispatch)
     def full(acc):
-        return eng._step_impl(acc, jnp.uint32(0), jnp.uint32(0))
+        return eng._step_impl(acc, jnp.uint32(0), jnp.uint32(0))[:3]
 
     acc0 = tuple(jnp.zeros_like(a) for a in eng.accum[:-1]) + (jnp.zeros_like(eng.accum[-1]),)
     results["full_step"] = timeit(full, acc0)

@@ -103,3 +103,36 @@ def test_key_bits_guard():
     assert not spectral_key_bits(1 << 24, 512)
     # the off-by-one: invalid key 0xFFFFFFFF must decode past the last pixel
     assert not spectral_key_bits((1 << 31) // 512, 512)
+
+
+def test_compact_rows_preserves_valid_set():
+    from ice_halo_sim_tpu.core.accum import compact_rows
+
+    rng = np.random.default_rng(11)
+    N = 70000  # several blocks plus a ragged tail
+    w = np.where(rng.random(N) < 0.3, rng.random(N).astype(np.float32), 0.0)
+    pix = rng.integers(0, 1000, N).astype(np.int32)
+    idx = rng.integers(0, 8, N).astype(np.uint32)
+    valid = w > 0
+    keep = (int(valid.sum() * 1.3) // 16384 + 1) * 16384
+
+    (cp, cw, ci), n_valid = compact_rows(
+        jnp.asarray(valid), [jnp.asarray(pix), jnp.asarray(w), jnp.asarray(idx)], keep
+    )
+    cp, cw, ci = np.asarray(cp), np.asarray(cw), np.asarray(ci)
+    assert int(n_valid) == int(valid.sum())
+    # The multiset of valid (pix, w, idx) rows must be preserved exactly,
+    # and every other output row must carry zero weight.
+    got = sorted(zip(cp[cw > 0].tolist(), cw[cw > 0].tolist(), ci[cw > 0].tolist()))
+    want = sorted(zip(pix[valid].tolist(), w[valid].tolist(), idx[valid].tolist()))
+    assert got == want
+
+
+def test_compact_rows_overflow_reports_true_count():
+    from ice_halo_sim_tpu.core.accum import compact_rows
+
+    valid = np.ones(40000, bool)
+    w = np.ones(40000, np.float32)
+    (cw,), n_valid = compact_rows(jnp.asarray(valid), [jnp.asarray(w)], 16384)
+    assert int(n_valid) == 40000  # caller must fall back: keep < n_valid
+    assert np.asarray(cw).shape == (16384,)
