@@ -236,8 +236,16 @@ class Engine:
             else:
                 # Continuation capacity: expected continuations with slack,
                 # clamped by the hard max (AllocateAllData, simulator.cpp:498-516).
+                # A prism ray leaves ~0.67 * max_hits exit slots live
+                # (measured 5.4/8 on the ms bench scenes), each continuing
+                # with probability p; 1.3x margin covers batch fluctuation
+                # and fatter geometries. Overflow drops lowest-weight rows
+                # first (see the continuation sort below) and is accounted
+                # in dropped_cont_weight.
                 p_prev = cfg.scene.layers[li - 1].prob
-                expect = b_prev * min(1.5 * p_prev * 3.0, float(self.max_hits))
+                expect = b_prev * min(
+                    1.3 * p_prev * 0.67 * self.max_hits, float(self.max_hits)
+                )
                 b_layer = int(min(max(expect, 1024), b_prev * self.max_hits))
                 b_layer = -(-b_layer // (256 * g)) * (256 * g)
             blocks = largest_remainder_partition(
@@ -668,24 +676,34 @@ class Engine:
                 cap = next_plan.cont_cap
                 cont_w_all = jnp.where(to_continue, exit_w, 0.0).reshape(-1)
                 cont_mask = cont_w_all > 0.0
-                # Compaction + Feistel shuffle as ONE multi-operand sort.
+                # Compaction + shuffle as ONE multi-operand sort.
                 # Arbitrary-index scatters and gathers are near-serial on
                 # TPU (~12 M updates/s measured); lax.sort is fast
                 # (~300 M rows/s) and carries every payload column with it,
                 # so the whole continuation pass is sort + static slice.
-                # Key: continuing rows get feistel(compact_pos) -- unique in
-                # [0, cap) -- so after sorting, row i of the first `cap`
-                # rows is the continuation assigned to lane i by the Feistel
-                # bijection (the decorrelation contract,
-                # trace_backend.hpp:334-349); dead rows sort to the back.
-                pos = jnp.cumsum(cont_mask.astype(jnp.int32)) - 1
-                ok = cont_mask & (pos < cap)
+                # Key layout (int32): live rows get
+                # (inverted weight bucket) << 23 | hash(row) -- so when
+                # continuations overflow `cap`, the LOWEST-weight rows are
+                # the ones dropped (energy-least-first truncation), and
+                # rows within a weight bucket land in hash order, keeping
+                # the decorrelated ray->crystal pairing the reference's
+                # Feistel shuffle exists for (trace_backend.hpp:334-349).
+                # Dead rows key past every live bucket.
+                n_rows = cont_w_all.shape[0]
+                wq = jnp.clip(
+                    jnp.floor(
+                        jnp.log2(jnp.maximum(cont_w_all, 1e-30))
+                    ).astype(jnp.int32) + 130,
+                    2, 255,
+                )
+                row_hash = rng.pcg_hash(
+                    jnp.arange(n_rows, dtype=jnp.uint32)
+                    ^ (layer_seed ^ rng.NONCE_SHUFFLE)
+                )
                 key = jnp.where(
-                    ok,
-                    rng.feistel_bijection(
-                        jnp.where(ok, pos, 0).astype(jnp.uint32), cap,
-                        layer_seed ^ rng.NONCE_SHUFFLE,
-                    ).astype(jnp.int32),
+                    cont_mask,
+                    ((jnp.int32(255) - wq) << 23)
+                    | (row_hash & jnp.uint32(0x7FFFFF)).astype(jnp.int32),
                     jnp.int32(0x7FFFFFF0),
                 )
                 idx_flat_c = jnp.broadcast_to(
