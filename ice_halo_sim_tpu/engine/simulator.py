@@ -139,7 +139,7 @@ class Engine:
         self.reset()
         self._step = jax.jit(
             self._step_impl,
-            static_argnums=(3,),
+            static_argnums=(3, 4),
             donate_argnums=(0,),
         )
         # Multi-batch dispatch: ONE device execution runs `n_steps` batches
@@ -148,18 +148,25 @@ class Engine:
         # discipline as the reference's dispatch grain (LUMICE_DISPATCH_RAY_NUM).
         self._multi_step = jax.jit(
             self._multi_step_impl,
-            static_argnums=(2, 3),
+            static_argnums=(2, 3, 4),
             donate_argnums=(0,),
         )
         self.steps_per_dispatch = 16
-        # Dead-row compaction before the fold (calibrated from the first
-        # dispatch's measured live counts; None per render = no compaction).
+        # Runtime calibration from the first dispatch's measured counts:
+        # dead-row compaction before the fold (None per render = off) and
+        # continuation-capacity trimming (plan rebuild; _plan_version is the
+        # static jit cache-buster).
         self._compact_keep = None
+        self._plan_version = 0
+        self._calibrated = False
         from ice_halo_sim_tpu.utils import env_knobs
 
         self._compact_enabled = str(env_knobs.get("IHT_COMPACT", "1")) not in (
             "0", "off", "false",
         )
+        self._recompute_rows_per_render()
+
+    def _recompute_rows_per_render(self) -> None:
         # Static contribution-row count per render per batch.
         self._rows_per_render = [
             sum(
@@ -215,7 +222,10 @@ class Engine:
             class_defs.append((mask, cls.combine_all))
         return by_placement, class_defs
 
-    def _build_plan(self) -> None:
+    def _build_plan(self, cont_caps=None) -> None:
+        """Build per-layer static plans. cont_caps: optional per-layer lane
+        counts (index >= 1) overriding the continuation-capacity heuristic —
+        the calibrated path (see _maybe_calibrate)."""
         cfg = self.cfg
         self.max_hits = int(cfg.scene.max_hits)
         color_by_placement, self.color_classes = self._build_color_bits()
@@ -247,6 +257,8 @@ class Engine:
                     1.3 * p_prev * 0.67 * self.max_hits, float(self.max_hits)
                 )
                 b_layer = int(min(max(expect, 1024), b_prev * self.max_hits))
+                if cont_caps is not None and cont_caps[li] is not None:
+                    b_layer = min(b_layer, max(int(cont_caps[li]), 1024))
                 b_layer = -(-b_layer // (256 * g)) * (256 * g)
             blocks = largest_remainder_partition(
                 b_layer // g, [e.proportion for e in settings]
@@ -524,6 +536,7 @@ class Engine:
 
         carried_mask = jnp.zeros((B,), jnp.uint32)
         seg_count = jnp.uint32(0)
+        cont_demand = []   # pre-truncation continuation counts per boundary
         n_layers = len(self.layers)
         for li, plan in enumerate(self.layers):
             b_layer = len(plan.setting_idx)
@@ -676,6 +689,7 @@ class Engine:
                 cap = next_plan.cont_cap
                 cont_w_all = jnp.where(to_continue, exit_w, 0.0).reshape(-1)
                 cont_mask = cont_w_all > 0.0
+                cont_demand.append(jnp.sum(cont_mask.astype(jnp.uint32)))
                 # Compaction + shuffle as ONE multi-operand sort.
                 # Arbitrary-index scatters and gathers are near-serial on
                 # TPU (~12 M updates/s measured); lax.sort is fast
@@ -753,7 +767,11 @@ class Engine:
                 ))
             else:
                 contribs.append(parts[0])
-        return contribs, jnp.stack(landed_add), dropped_w, seg_count
+        cont_demand = (
+            jnp.stack(cont_demand) if cont_demand
+            else jnp.zeros((0,), jnp.uint32)
+        )
+        return contribs, jnp.stack(landed_add), dropped_w, seg_count, cont_demand
 
     def _expand_vals(self, w, wl_idx, mask, batch_counter):
         """Dense [N, 3+L] channel rows from spectral rows (the non-spectral
@@ -777,7 +795,8 @@ class Engine:
             method = "sort-legacy"
         return method
 
-    def _step_impl(self, accum, batch_base, batch_counter, keep=None):
+    def _step_impl(self, accum, batch_base, batch_counter, keep=None,
+                   plan_version: int = 0):
         """One batch, folded into the accumulators immediately.
 
         accum: tuple of per-render [H*W, C] XYZ(+lanes) + [R] landed
@@ -785,13 +804,15 @@ class Engine:
         contribution rows to that many before the fold (None entry = no
         compaction for that render); a batch whose live rows overflow its
         `keep` falls back to the uncompacted fold via lax.cond, so the
-        result is exact either way.
+        result is exact either way. plan_version: static cache-buster — it
+        must change whenever self.layers is rebuilt (continuation-cap
+        calibration) so jit retraces against the new plans.
 
-        Returns (accum', dropped_w, seg_count, live_counts[R]) — live counts
-        feed the host-side compaction calibration.
+        Returns (accum', dropped_w, seg_count, live_counts[R],
+        cont_demand[L-1]) — the counts feed host-side calibration.
         """
-        contribs, landed_add, dropped_w, seg_count = self._trace_batch_impl(
-            batch_base, batch_counter
+        contribs, landed_add, dropped_w, seg_count, cont_demand = (
+            self._trace_batch_impl(batch_base, batch_counter)
         )
         method = self._resolved_accum_method()
         n_classes = len(self.color_classes)
@@ -834,14 +855,15 @@ class Engine:
                 )
         return (
             tuple(xyz_acc) + (landed,), dropped_w, seg_count,
-            jnp.stack(live_counts),
+            jnp.stack(live_counts), cont_demand,
         )
 
     # ------------------------------------------------------------------
     # Host loop
     # ------------------------------------------------------------------
 
-    def _multi_step_impl(self, accum, counter0, n_steps: int, keep=None):
+    def _multi_step_impl(self, accum, counter0, n_steps: int, keep=None,
+                         plan_version: int = 0):
         """`n_steps` batches in ONE device execution (fori_loop over the
         fused step; per-dispatch latency amortizes across all of them).
 
@@ -854,17 +876,21 @@ class Engine:
             (self.batch_size * max(1, len(self.layers) + 1)) & 0xFFFFFFFF
         )
         n_renders = len(self.proj_plans)
+        n_bounds = max(0, len(self.layers) - 1)
 
         def body(i, carry):
-            acc, dropped, segs, live = carry
+            acc, dropped, segs, live, cont = carry
             counter = counter0 + jnp.uint32(i)
-            acc, d, s, lv = self._step_impl(acc, counter * mult, counter, keep)
-            return (acc, dropped + d, segs + s, live + lv)
+            acc, d, s, lv, cd = self._step_impl(
+                acc, counter * mult, counter, keep, plan_version
+            )
+            return (acc, dropped + d, segs + s, live + lv, cont + cd)
 
         return jax.lax.fori_loop(
             0, n_steps, body,
             (accum, jnp.float32(0.0), jnp.uint32(0),
-             jnp.zeros((n_renders,), jnp.uint32)),
+             jnp.zeros((n_renders,), jnp.uint32),
+             jnp.zeros((n_bounds,), jnp.uint32)),
         )
 
     def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:
@@ -878,15 +904,17 @@ class Engine:
             if k == 1:
                 base = (self.batch_counter * self.batch_size
                         * max(1, len(self.layers) + 1))
-                self.accum, dropped, segs, live = self._step(
+                self.accum, dropped, segs, live, cont = self._step(
                     self.accum,
                     jnp.uint32(base & 0xFFFFFFFF),
                     jnp.uint32(self.batch_counter),
                     keep,
+                    self._plan_version,
                 )
             else:
-                self.accum, dropped, segs, live = self._multi_step(
-                    self.accum, jnp.uint32(self.batch_counter), k, keep
+                self.accum, dropped, segs, live, cont = self._multi_step(
+                    self.accum, jnp.uint32(self.batch_counter), k, keep,
+                    self._plan_version,
                 )
             self.batch_counter += k
             done += k
@@ -895,8 +923,8 @@ class Engine:
             # high-latency device link); stats reads drain lazily.
             self._pending_dropped.append(dropped)
             self._pending_segments.append(segs)
-            if keep is None:
-                self._maybe_calibrate_compaction(live, k)
+            if not self._calibrated:
+                self._maybe_calibrate(live, cont, k)
         self.stats = self.stats._replace(
             rays_traced=self.stats.rays_traced + n_batches * self.batch_size,
             stochastic_crystal_samples=self.stats.stochastic_crystal_samples
@@ -916,20 +944,46 @@ class Engine:
         )
         return self.stats
 
-    def _maybe_calibrate_compaction(self, live, n_steps: int) -> None:
-        """Pick per-render dead-row compaction sizes from measured live
-        counts (one host sync, after the first dispatch).
+    def _maybe_calibrate(self, live, cont, n_steps: int) -> None:
+        """One-shot runtime calibration from the first dispatch's measured
+        counts (one host sync).
 
-        Compaction pays when well under ~60% of contribution rows are live
-        (the prepass costs one extra block rowsort); margin 1.35x absorbs
-        per-batch Monte-Carlo fluctuation, and an overflowing batch falls
-        back to the uncompacted fold inside the step (lax.cond), so a bad
-        calibration costs speed, never correctness.
+        1. Continuation capacities: the plan heuristic over-provisions
+           per-layer lane buffers; trim them to 1.25x the measured demand
+           (never grow — overflow still drops lowest-weight rows with
+           accounting). A trim rebuilds the plans and bumps _plan_version
+           so the jitted step retraces.
+        2. Dead-row fold compaction: pays when well under ~60% of
+           contribution rows are live (the prepass costs one extra block
+           rowsort); margin 1.35x absorbs per-batch Monte-Carlo
+           fluctuation, and an overflowing batch falls back to the
+           uncompacted fold inside the step (lax.cond), so a bad
+           calibration costs speed, never correctness.
+
+        Both are deterministic functions of (scene, seed, batch size, first
+        dispatch size), so equal runs stay bit-comparable.
         """
-        if not self._compact_enabled or self._compact_keep is not None:
+        self._calibrated = True
+        cont_avg = np.asarray(cont, np.float64) / max(1, n_steps)
+        if len(cont_avg):
+            caps = [None]
+            changed = False
+            for li in range(1, len(self.layers)):
+                cur = len(self.layers[li].setting_idx)
+                want = int(cont_avg[li - 1] * 1.25)
+                if want < 0.85 * cur:
+                    caps.append(want)
+                    changed = True
+                else:
+                    caps.append(None)
+            if changed:
+                self._build_plan(cont_caps=caps)
+                self._recompute_rows_per_render()
+                self._plan_version += 1
+
+        if not self._compact_enabled:
             return
         if self._resolved_accum_method() != "sort":
-            self._compact_keep = tuple([None] * len(self.proj_plans))
             return
         live_avg = np.asarray(live, np.float64) / max(1, n_steps)
         block = 16384
@@ -945,8 +999,6 @@ class Engine:
         self._compact_keep = (
             tuple(keep) if any(k is not None for k in keep) else None
         )
-        if self._compact_keep is None:
-            self._compact_enabled = False
 
     def drain_stats(self) -> Stats:
         """Fold pending device-side counters into stats (one sync)."""

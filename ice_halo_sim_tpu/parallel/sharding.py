@@ -61,7 +61,7 @@ class ShardedEngine:
             dev = jax.lax.axis_index("rays").astype(jnp.uint32)
             local_base = batch_base + dev * jnp.uint32(span)
             local_accum = jax.tree.map(lambda a: a[0], accum)
-            new_accum, dropped, segs, _live = self.engine._step_impl(
+            new_accum, dropped, segs, _live, _cont = self.engine._step_impl(
                 local_accum, local_base, batch_counter
             )
             return (

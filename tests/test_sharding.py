@@ -39,7 +39,7 @@ SCRIPT = textwrap.dedent(
     for counter in range(2):
         for dev in range(8):
             base = (counter * 8 * span + dev * span) & 0xFFFFFFFF
-            accum, _, _, _ = e._step(accum, np.uint32(base), np.uint32(counter), None)
+            accum = e._step(accum, np.uint32(base), np.uint32(counter), None, 0)[0]
     p = e.proj_plans[0]
     xyz_ref = np.asarray(accum[0][:, :3]).reshape(p.height, p.width, 3)
 
