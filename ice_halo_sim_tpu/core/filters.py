@@ -132,11 +132,19 @@ def reduce_raypath(seq, symmetry: Symmetry, sigma_a: int = 0, d_applicable: bool
 # Vectorized canonicalization over padded [N, L] paths
 # --------------------------------------------------------------------------
 
+def _row_at(arr, idx):
+    """arr[n, idx[n]] without a gather: one-hot masked sum over the tiny
+    path axis (per-row gathers lower near-serially on TPU; L <= 64)."""
+    L = arr.shape[-1]
+    oh = jnp.arange(L, dtype=idx.dtype)[None, :] == idx[..., None]
+    return jnp.sum(jnp.where(oh, arr, 0), axis=-1)
+
+
 def _p_shift(paths, valid):
     is_pri = (paths >= 3) & valid
     has_pri = jnp.any(is_pri, axis=-1)
     first_idx = jnp.argmax(is_pri, axis=-1)
-    first_val = jnp.take_along_axis(paths, first_idx[..., None], axis=-1)[..., 0]
+    first_val = _row_at(paths, first_idx)
     first_pri = jnp.where(has_pri, first_val % 10, 0)
     pyr = paths // 10
     pri = paths % 10
@@ -168,8 +176,8 @@ def _lex_less(a, b, valid):
     diff = (a != b) & valid
     any_diff = jnp.any(diff, axis=-1)
     idx = jnp.argmax(diff, axis=-1)
-    av = jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
-    bv = jnp.take_along_axis(b, idx[..., None], axis=-1)[..., 0]
+    av = _row_at(a, idx)
+    bv = _row_at(b, idx)
     return any_diff & (av < bv)
 
 
@@ -280,7 +288,7 @@ def build_filter_plan(fcfg: FilterConfig, axis: AxisDistribution, all_filters: d
 # Vectorized match
 # --------------------------------------------------------------------------
 
-def _match_simple(plan: SimplePlan, paths, lens, dirs):
+def _match_simple(plan: SimplePlan, paths, lens, dirs, reduced=None):
     n = paths.shape[0]
     if plan.kind == "none":
         return jnp.ones(n, bool)
@@ -294,7 +302,10 @@ def _match_simple(plan: SimplePlan, paths, lens, dirs):
         L = paths.shape[-1]
         if clen > L:
             return jnp.zeros(n, bool)
-        reduced = reduce_paths(paths, lens, plan.symmetry, plan.sigma_a, plan.d_applicable)
+        if reduced is None:
+            reduced = reduce_paths(
+                paths, lens, plan.symmetry, plan.sigma_a, plan.d_applicable
+            )
         canon = jnp.zeros(L, jnp.int32).at[:clen].set(jnp.asarray(plan.canonical, jnp.int32))
         eq = jnp.all(jnp.where(jnp.arange(L)[None, :] < clen, reduced == canon[None, :], True), axis=-1)
         return (lens == clen) & eq
@@ -305,7 +316,7 @@ def _match_simple(plan: SimplePlan, paths, lens, dirs):
         if not (plan.has_entry or plan.has_exit):
             return ok
         first = paths[:, 0]
-        last = jnp.take_along_axis(paths, jnp.maximum(lens - 1, 0)[..., None], axis=-1)[..., 0]
+        last = _row_at(paths, jnp.maximum(lens - 1, 0))
         if plan.has_entry and plan.has_exit:
             ee = jnp.stack([first, last], axis=-1)
         elif plan.has_entry:
@@ -332,11 +343,41 @@ def check_exits(plan: Optional[FilterPlan], paths, lens, dirs):
     if plan is None:
         return jnp.ones(n, bool)
     matched = jnp.zeros(n, bool)
+    # One canonicalization per distinct symmetry triple, shared by every
+    # raypath predicate (the reference's design: ReduceBuffer_dev runs once
+    # per ray, then compares against all packed targets —
+    # filter_shared.h:37-140).
+    cache = {}
+
+    def reduced_for(s):
+        k = (s.symmetry, s.sigma_a, s.d_applicable)
+        if k not in cache:
+            cache[k] = reduce_paths(paths, lens, *k)
+        return cache[k]
+
     for clause in plan.clauses:
         and_ok = jnp.ones(n, bool)
         for simple in clause:
-            and_ok &= _match_simple(simple, paths, lens, dirs)
+            r = reduced_for(simple) if simple.kind == "raypath" else None
+            and_ok &= _match_simple(simple, paths, lens, dirs, reduced=r)
         matched |= and_ok
     if plan.action == FilterAction.FILTER_OUT:
         return ~matched
     return matched
+
+
+def check_exits_slots(plan: Optional[FilterPlan], paths, path_lens, dirs):
+    """Filter verdicts for H exit slots sharing one path buffer: [c, H].
+
+    paths: [c, L] face numbers; path_lens: [c, H] per-slot prefix lengths;
+    dirs: [c, H, 3] per-slot exit directions. Folds the slot axis into the
+    batch so each symmetry canonicalization runs ONCE over [c*H, L] instead
+    of once per slot per predicate.
+    """
+    c, L = paths.shape
+    H = path_lens.shape[-1]
+    if plan is None:
+        return jnp.ones((c, H), bool)
+    pb = jnp.broadcast_to(paths[:, None, :], (c, H, L)).reshape(c * H, L)
+    out = check_exits(plan, pb, path_lens.reshape(-1), dirs.reshape(-1, 3))
+    return out.reshape(c, H)

@@ -601,15 +601,13 @@ class Engine:
                     if fp is None:
                         seg_masks.append(jnp.ones((c, H), bool))
                     else:
-                        paths_s = exits.path[off : off + c]
-                        cols = [
-                            filters.check_exits(
-                                fp, paths_s, exits.path_len[off : off + c, h],
-                                exit_d[off : off + c, h],
+                        seg_masks.append(
+                            filters.check_exits_slots(
+                                fp, exits.path[off : off + c],
+                                exits.path_len[off : off + c],
+                                exit_d[off : off + c],
                             )
-                            for h in range(H)
-                        ]
-                        seg_masks.append(jnp.stack(cols, axis=1))
+                        )
                     off += c
                 fmask = jnp.concatenate(seg_masks) if len(seg_masks) > 1 else seg_masks[0]
                 exit_w = jnp.where(fmask, exit_w, 0.0)
@@ -641,15 +639,11 @@ class Engine:
                         continue
                     bits = jnp.zeros((c, H), jnp.uint32)
                     for bit_idx, cplan in plan.color_plans[s]:
-                        cols = [
-                            filters.check_exits(
-                                cplan, exits.path[off : off + c],
-                                exits.path_len[off : off + c, h],
-                                exit_d[off : off + c, h],
-                            )
-                            for h in range(H)
-                        ]
-                        match = jnp.stack(cols, axis=1)
+                        match = filters.check_exits_slots(
+                            cplan, exits.path[off : off + c],
+                            exits.path_len[off : off + c],
+                            exit_d[off : off + c],
+                        )
                         bits = bits | jnp.where(match, jnp.uint32(1 << bit_idx), 0)
                     seg_bits.append(bits)
                     off += c
@@ -724,12 +718,22 @@ class Engine:
                     wl_idx[:, None], exit_w.shape
                 ).reshape(-1)
                 flat_d3 = exit_d.reshape(-1, 3)
-                (_, s_w, s_idx, s_mask, s_dx, s_dy, s_dz) = jax.lax.sort(
-                    (key, cont_w_all, idx_flat_c,
-                     exit_mask.reshape(-1).astype(jnp.int32),
-                     flat_d3[:, 0], flat_d3[:, 1], flat_d3[:, 2]),
+                # The component-mask column rides the sort only when color
+                # classes exist (one less payload column otherwise).
+                mask_ops = (
+                    (exit_mask.reshape(-1).astype(jnp.int32),)
+                    if n_classes else ()
+                )
+                sorted_ops = jax.lax.sort(
+                    (key, cont_w_all, idx_flat_c) + mask_ops
+                    + (flat_d3[:, 0], flat_d3[:, 1], flat_d3[:, 2]),
                     num_keys=1,
                 )
+                if n_classes:
+                    (_, s_w, s_idx, s_mask, s_dx, s_dy, s_dz) = sorted_ops
+                else:
+                    (_, s_w, s_idx, s_dx, s_dy, s_dz) = sorted_ops
+                    s_mask = jnp.zeros_like(s_idx, jnp.int32)
                 n_flat = cont_w_all.shape[0]
                 if n_flat >= cap:
                     sel_w = s_w[:cap]
