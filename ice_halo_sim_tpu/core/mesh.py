@@ -110,3 +110,21 @@ def crystal_mesh(shape, dedup_eps: float = 1e-6) -> TriMesh:
     else:
         raise ValueError(f"unsupported shape {type(shape)}")
     return geom_to_mesh(g, dedup_eps)
+
+
+def crystal_mesh_from_json(text: str) -> TriMesh:
+    """Mesh for a crystal-section JSON fragment (the C-API GetCrystalMesh
+    entry, LUMICE_GetCrystalMesh lumice.h:1153): parses the same schema as
+    the project file's crystal entries and meshes the shape at its
+    distribution centers. An ``id`` field is optional here."""
+    import json
+
+    from ice_halo_sim_tpu.config.loader import parse_crystal
+
+    obj = json.loads(text)
+    if not isinstance(obj, dict):
+        raise ValueError("crystal JSON must be an object")
+    obj = dict(obj)
+    obj.setdefault("id", 1)
+    cfg = parse_crystal(obj)
+    return crystal_mesh(cfg.shape)

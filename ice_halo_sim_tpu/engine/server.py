@@ -211,7 +211,8 @@ class Server:
             raw = tuple(np.array(eng.raw_xyz(r)) for r in range(len(eng.proj_plans)))
             ev_scale = float(2.0 ** self._composite_ev)
             comps = tuple(
-                (np.array(c) if (c := eng.composite(r, display_exposure_scale=ev_scale))
+                (np.asarray(c, np.float32)
+                 if (c := eng.composite(r, display_exposure_scale=ev_scale))
                  is not None else None)
                 for r in range(len(eng.proj_plans))
             )
@@ -306,6 +307,28 @@ class Server:
             # Display fields only — the engine's structural plan (match bits)
             # is untouched; accumulators are kept.
             self._engine.cfg = self._cfg
+
+    def set_raypath_colors_json(self, text: str) -> None:
+        """JSON form of set_raypath_colors (the C-API entry point):
+        ``{"classes": [{"color": [r,g,b], "visible": true, "solo": false},
+        ...], "z_order": [...], "mode": "dominant"}`` — classes is required,
+        z_order/mode optional."""
+        import json as _json
+
+        obj = _json.loads(text)
+        if not isinstance(obj, dict) or "classes" not in obj:
+            raise ValueError('expected {"classes": [...], ...}')
+        displays = [
+            ColorClassDisplay(
+                color=tuple(float(x) for x in d["color"]),
+                visible=bool(d.get("visible", True)),
+                solo=bool(d.get("solo", False)),
+            )
+            for d in obj["classes"]
+        ]
+        self.set_raypath_colors(
+            displays, z_order=obj.get("z_order"), mode=obj.get("mode")
+        )
 
     def set_composite_exposure(self, ev_total: float) -> None:
         """Display-time EV for the composite path only (2^ev inside the

@@ -115,6 +115,68 @@ IHT_Status IHT_FrameGetRender(const IHT_ResultFrame* frame, int idx,
 IHT_Status IHT_FrameGetRawXyz(const IHT_ResultFrame* frame, int idx,
                               float* dst, size_t cap);
 IHT_Status IHT_FrameGetStats(const IHT_ResultFrame* frame, IHT_Stats* out);
+/* 1 if renderer idx has a raypath-color composite in this frame. */
+int IHT_FrameHasComposite(const IHT_ResultFrame* frame, int idx);
+/* Composited raypath-color image, row-major [H][W][3] floats in [0,1].
+ * cap in floats. IHT_ERR_NO_FRAME if the renderer has no composite. */
+IHT_Status IHT_FrameGetComposite(const IHT_ResultFrame* frame, int idx,
+                                 float* dst, size_t cap);
+/* Total landed weight for renderer idx (the snapshot_intensity anchor). */
+IHT_Status IHT_FrameGetLanded(const IHT_ResultFrame* frame, int idx,
+                              double* out);
+/* Adaptive-brightness EV suggestion for renderer idx (P99-anchored;
+ * reference doc/adaptive-brightness.md). */
+IHT_Status IHT_FrameGetEvAuto(const IHT_ResultFrame* frame, int idx,
+                              double* out);
+
+/* ---- display-time color control (no re-simulation; lumice.h:950-984) -- */
+
+/* json: {"classes": [{"color": [r,g,b], "visible": true, "solo": false},
+ * ...], "z_order": [...], "mode": "dominant"|"additive"|"painter"}.
+ * classes count must match the committed scene; z_order/mode optional. */
+IHT_Status IHT_SetRaypathColors(IHT_Server* server, const char* json);
+/* Display-time EV applied inside the composite bake only. */
+IHT_Status IHT_SetCompositeExposure(IHT_Server* server, double ev);
+/* Per-class has-signal flags (1 = the class's Y lane has any nonzero
+ * pixel). Writes up to cap ints; returns the class count, or a negative
+ * IHT_Status. */
+int IHT_GetColorClassSignal(IHT_Server* server, int* out, int cap);
+/* Color predicates beyond the component-mask bit budget stop producing
+ * bits (coloring degrades, never fails — reference def.hpp:43-51). */
+IHT_Status IHT_GetColorOverflowInfo(IHT_Server* server, int* overflow_count,
+                                    int* capacity);
+
+/* ---- lifecycle / drain ------------------------------------------------ */
+
+/* Totals are final once *drained_epoch == *current_epoch
+ * (LUMICE_GetDrainStatus contract). */
+IHT_Status IHT_GetDrainStatus(IHT_Server* server, long long* current_epoch,
+                              long long* drained_epoch);
+/* state: IHT_ServerState; epoch: commit generation. */
+IHT_Status IHT_GetSimLifecycle(IHT_Server* server, int* state,
+                               long long* epoch);
+
+/* ---- logging ----------------------------------------------------------- */
+
+/* level/logger/message strings are valid only for the call's duration. */
+typedef void (*IHT_LogCallback)(const char* level, const char* logger,
+                                const char* message, void* user);
+/* "debug" | "info" | "warning" | "error" | "off". */
+IHT_Status IHT_SetLogLevel(const char* level);
+/* Replaces any previous callback; cb = NULL uninstalls. The callback may
+ * be invoked from any thread; it must not call back into IHT_*. */
+IHT_Status IHT_SetLogCallback(IHT_LogCallback cb, void* user);
+
+/* ---- geometry introspection ------------------------------------------- */
+
+/* Triangulated preview mesh of a crystal-section JSON fragment at its
+ * distribution centers (LUMICE_GetCrystalMesh). Two-call protocol: counts
+ * are always written; arrays are filled only when their caps suffice
+ * (vertices: 3 floats each; triangles: 3 ints each). */
+IHT_Status IHT_GetCrystalMesh(const char* crystal_json, float* vertices,
+                              size_t vertex_cap_floats, int* out_n_vertices,
+                              int* triangles, size_t triangle_cap_ints,
+                              int* out_n_triangles);
 
 /* ---- validation helpers (no server needed) ---------------------------- */
 
@@ -124,6 +186,14 @@ int IHT_IsLegalFace(IHT_CrystalKind kind, int face);
 /* IHT_RaypathValidation for dash/comma-separated face text. kind < 0 =
  * syntax-only. */
 int IHT_ValidateRaypathText(const char* text, int kind);
+
+/* Shape-scalar slots use the reference's unified 10-slot map
+ * (crystal_config.hpp:32-41): 0 height (prism), 1-3 upper_h/prism_h/
+ * lower_h (pyramid), 4-9 face distances (both). */
+int IHT_IsShapeScalarApplicable(IHT_CrystalKind kind, int slot);
+/* Sync-group JSON key for an applicable slot ("height", "upper_h",
+ * "prism_h", "lower_h", "face_distance"); NULL if not applicable. */
+const char* IHT_ShapeScalarSyncKeyName(IHT_CrystalKind kind, int slot);
 
 
 /* ---- scene value building (pure C++, no Python until commit) ---------- */

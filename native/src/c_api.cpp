@@ -103,6 +103,9 @@ struct RenderImage {
   int height = 0;
   std::vector<unsigned char> rgb;  // H*W*3
   std::vector<float> xyz;         // H*W*3
+  std::vector<float> composite;   // H*W*3 (empty when no raypath_color)
+  double landed = 0.0;
+  double ev_auto = 0.0;
 };
 
 struct IHT_ResultFrame {
@@ -392,6 +395,12 @@ IHT_Status IHT_AcquireResultFrame(IHT_Server* server, IHT_ResultFrame** out) {
 
   PyObject* images = PyObject_GetAttrString(frame, "images");
   PyObject* raws = PyObject_GetAttrString(frame, "raw_xyz");
+  PyObject* comps = PyObject_GetAttrString(frame, "composites");
+  PyObject* landed = PyObject_GetAttrString(frame, "landed");
+  PyObject* ev_auto = PyObject_GetAttrString(frame, "ev_auto");
+  if (comps == nullptr || landed == nullptr || ev_auto == nullptr) {
+    PyErr_Clear();
+  }
   bool ok = images != nullptr && raws != nullptr;
   if (ok) {
     Py_ssize_t n = PySequence_Length(images);
@@ -413,13 +422,36 @@ IHT_Status IHT_AcquireResultFrame(IHT_Server* server, IHT_ResultFrame** out) {
       } else {
         ok = false;
       }
-      Py_XDECREF(img);
-      Py_XDECREF(raw);
+      if (ok && comps != nullptr && i < PySequence_Length(comps)) {
+        PyObject* c = PySequence_GetItem(comps, i);
+        if (c != nullptr && c != Py_None) {
+          if (!CopyArray(c, &r.composite)) {
+            PyErr_Clear();
+            r.composite.clear();
+          }
+        }
+        Py_XDECREF(c);
+      }
+      if (ok && landed != nullptr && i < PySequence_Length(landed)) {
+        PyObject* v = PySequence_GetItem(landed, i);
+        if (v != nullptr) r.landed = PyFloat_AsDouble(v);
+        if (PyErr_Occurred() != nullptr) PyErr_Clear();
+        Py_XDECREF(v);
+      }
+      if (ok && ev_auto != nullptr && i < PySequence_Length(ev_auto)) {
+        PyObject* v = PySequence_GetItem(ev_auto, i);
+        if (v != nullptr) r.ev_auto = PyFloat_AsDouble(v);
+        if (PyErr_Occurred() != nullptr) PyErr_Clear();
+        Py_XDECREF(v);
+      }
       if (ok) f->renders.push_back(std::move(r));
     }
   }
   Py_XDECREF(images);
   Py_XDECREF(raws);
+  Py_XDECREF(comps);
+  Py_XDECREF(landed);
+  Py_XDECREF(ev_auto);
   Py_DECREF(frame);
   if (!ok) {
     delete f;
@@ -493,6 +525,314 @@ IHT_Status IHT_FrameGetStats(const IHT_ResultFrame* frame, IHT_Stats* out) {
   return IHT_OK;
 }
 
+int IHT_FrameHasComposite(const IHT_ResultFrame* frame, int idx) {
+  if (frame == nullptr || idx < 0 ||
+      idx >= static_cast<int>(frame->renders.size())) {
+    return 0;
+  }
+  return frame->renders[idx].composite.empty() ? 0 : 1;
+}
+
+IHT_Status IHT_FrameGetComposite(const IHT_ResultFrame* frame, int idx,
+                                 float* dst, size_t cap) {
+  if (frame == nullptr || dst == nullptr || idx < 0 ||
+      idx >= static_cast<int>(frame->renders.size())) {
+    return IHT_ERR_INVALID_ARG;
+  }
+  const auto& c = frame->renders[idx].composite;
+  if (c.empty()) return IHT_ERR_NO_FRAME;
+  if (cap < c.size()) return IHT_ERR_BUFFER_TOO_SMALL;
+  std::memcpy(dst, c.data(), c.size() * sizeof(float));
+  return IHT_OK;
+}
+
+IHT_Status IHT_FrameGetLanded(const IHT_ResultFrame* frame, int idx,
+                              double* out) {
+  if (frame == nullptr || out == nullptr || idx < 0 ||
+      idx >= static_cast<int>(frame->renders.size())) {
+    return IHT_ERR_INVALID_ARG;
+  }
+  *out = frame->renders[idx].landed;
+  return IHT_OK;
+}
+
+IHT_Status IHT_FrameGetEvAuto(const IHT_ResultFrame* frame, int idx,
+                              double* out) {
+  if (frame == nullptr || out == nullptr || idx < 0 ||
+      idx >= static_cast<int>(frame->renders.size())) {
+    return IHT_ERR_INVALID_ARG;
+  }
+  *out = frame->renders[idx].ev_auto;
+  return IHT_OK;
+}
+
+// ---- display-time color control ---------------------------------------------
+
+IHT_Status IHT_SetRaypathColors(IHT_Server* server, const char* json) {
+  if (server == nullptr || json == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* text = PyUnicode_FromString(json);
+  PyObject* args = PyTuple_Pack(1, text);
+  PyObject* res = CallMethod(server->py_server, "set_raypath_colors_json", args);
+  Py_DECREF(args);
+  Py_DECREF(text);
+  if (res == nullptr) {
+    SetError("set_raypath_colors failed: " + FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+IHT_Status IHT_SetCompositeExposure(IHT_Server* server, double ev) {
+  if (server == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* v = PyFloat_FromDouble(ev);
+  PyObject* args = PyTuple_Pack(1, v);
+  PyObject* res = CallMethod(server->py_server, "set_composite_exposure", args);
+  Py_DECREF(args);
+  Py_DECREF(v);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+int IHT_GetColorClassSignal(IHT_Server* server, int* out, int cap) {
+  if (server == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* res = CallMethod(server->py_server, "color_class_signal", nullptr);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  Py_ssize_t n = PySequence_Length(res);
+  if (n < 0) {
+    Py_DECREF(res);
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  if (out != nullptr) {
+    for (Py_ssize_t i = 0; i < n && i < cap; ++i) {
+      PyObject* v = PySequence_GetItem(res, i);
+      out[i] = (v != nullptr && PyObject_IsTrue(v) == 1) ? 1 : 0;
+      Py_XDECREF(v);
+    }
+  }
+  Py_DECREF(res);
+  return static_cast<int>(n);
+}
+
+IHT_Status IHT_GetColorOverflowInfo(IHT_Server* server, int* overflow_count,
+                                    int* capacity) {
+  if (server == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* res = CallMethod(server->py_server, "color_overflow_info", nullptr);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  PyObject* cnt = PyDict_GetItemString(res, "component_overflow_count");
+  PyObject* cp = PyDict_GetItemString(res, "component_capacity");
+  if (overflow_count != nullptr) {
+    *overflow_count = cnt != nullptr ? static_cast<int>(PyLong_AsLong(cnt)) : 0;
+  }
+  if (capacity != nullptr) {
+    *capacity = cp != nullptr ? static_cast<int>(PyLong_AsLong(cp)) : 0;
+  }
+  if (PyErr_Occurred() != nullptr) PyErr_Clear();
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+// ---- lifecycle / drain -------------------------------------------------------
+
+IHT_Status IHT_GetDrainStatus(IHT_Server* server, long long* current_epoch,
+                              long long* drained_epoch) {
+  if (server == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* res = CallMethod(server->py_server, "drain_status", nullptr);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  if (current_epoch != nullptr) *current_epoch = GetLLAttr(res, "current_epoch");
+  if (drained_epoch != nullptr) *drained_epoch = GetLLAttr(res, "drained_epoch");
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+IHT_Status IHT_GetSimLifecycle(IHT_Server* server, int* state,
+                               long long* epoch) {
+  if (server == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* res = CallMethod(server->py_server, "lifecycle", nullptr);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  if (state != nullptr) {
+    *state = IHT_ERR_RUNTIME;
+    PyObject* s = PyDict_GetItemString(res, "state");
+    const char* c = s != nullptr ? PyUnicode_AsUTF8(s) : nullptr;
+    if (c != nullptr) {
+      if (std::strcmp(c, "idle") == 0) *state = IHT_STATE_IDLE;
+      if (std::strcmp(c, "running") == 0) *state = IHT_STATE_RUNNING;
+      if (std::strcmp(c, "stopped") == 0) *state = IHT_STATE_STOPPED;
+    }
+  }
+  if (epoch != nullptr) {
+    PyObject* e = PyDict_GetItemString(res, "epoch");
+    *epoch = e != nullptr ? PyLong_AsLongLong(e) : 0;
+    if (PyErr_Occurred() != nullptr) PyErr_Clear();
+  }
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+}  // extern "C"
+
+// ---- logging ----------------------------------------------------------------
+
+namespace {
+
+std::atomic<IHT_LogCallback> g_log_cb{nullptr};
+std::atomic<void*> g_log_user{nullptr};
+
+PyObject* LogTrampoline(PyObject* /*self*/, PyObject* args) {
+  const char* lvl = nullptr;
+  const char* logger = nullptr;
+  const char* msg = nullptr;
+  if (PyArg_ParseTuple(args, "sss", &lvl, &logger, &msg) == 0) return nullptr;
+  IHT_LogCallback cb = g_log_cb.load();
+  if (cb != nullptr) {
+    void* user = g_log_user.load();
+    // The callback is plain C — release the GIL around it so it can block
+    // without stalling the interpreter.
+    Py_BEGIN_ALLOW_THREADS
+    cb(lvl, logger, msg, user);
+    Py_END_ALLOW_THREADS
+  }
+  Py_RETURN_NONE;
+}
+
+PyMethodDef g_log_def = {"iht_log_trampoline", LogTrampoline, METH_VARARGS,
+                         nullptr};
+
+}  // namespace
+
+extern "C" {
+
+IHT_Status IHT_SetLogLevel(const char* level) {
+  if (level == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* mod = PyImport_ImportModule("ice_halo_sim_tpu.utils.log");
+  if (mod == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  PyObject* text = PyUnicode_FromString(level);
+  PyObject* args = PyTuple_Pack(1, text);
+  PyObject* res = CallMethod(mod, "set_log_level", args);
+  Py_DECREF(args);
+  Py_DECREF(text);
+  Py_DECREF(mod);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+IHT_Status IHT_SetLogCallback(IHT_LogCallback cb, void* user) {
+  Gil gil;
+  PyObject* mod = PyImport_ImportModule("ice_halo_sim_tpu.utils.log");
+  if (mod == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  g_log_cb.store(cb);
+  g_log_user.store(user);
+  PyObject* fn;
+  if (cb != nullptr) {
+    fn = PyCFunction_New(&g_log_def, nullptr);
+  } else {
+    fn = Py_NewRef(Py_None);
+  }
+  PyObject* args = PyTuple_Pack(1, fn);
+  PyObject* res = CallMethod(mod, "set_log_callback", args);
+  Py_DECREF(args);
+  Py_DECREF(fn);
+  Py_DECREF(mod);
+  if (res == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  Py_DECREF(res);
+  return IHT_OK;
+}
+
+// ---- geometry introspection ---------------------------------------------------
+
+IHT_Status IHT_GetCrystalMesh(const char* crystal_json, float* vertices,
+                              size_t vertex_cap_floats, int* out_n_vertices,
+                              int* triangles, size_t triangle_cap_ints,
+                              int* out_n_triangles) {
+  if (crystal_json == nullptr) return IHT_ERR_INVALID_ARG;
+  Gil gil;
+  PyObject* mod = PyImport_ImportModule("ice_halo_sim_tpu.core.mesh");
+  if (mod == nullptr) {
+    SetError(FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  PyObject* text = PyUnicode_FromString(crystal_json);
+  PyObject* args = PyTuple_Pack(1, text);
+  PyObject* mesh = CallMethod(mod, "crystal_mesh_from_json", args);
+  Py_DECREF(args);
+  Py_DECREF(text);
+  Py_DECREF(mod);
+  if (mesh == nullptr) {
+    SetError("crystal mesh failed: " + FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  PyObject* v = PyObject_GetAttrString(mesh, "vertices");
+  PyObject* t = PyObject_GetAttrString(mesh, "triangles");
+  std::vector<float> vbuf;
+  std::vector<int> tbuf;
+  bool ok = v != nullptr && t != nullptr && CopyArray(v, &vbuf) &&
+            CopyArray(t, &tbuf);
+  Py_XDECREF(v);
+  Py_XDECREF(t);
+  Py_DECREF(mesh);
+  if (!ok) {
+    SetError("mesh extraction failed: " + FetchPyError());
+    return IHT_ERR_RUNTIME;
+  }
+  int nv = static_cast<int>(vbuf.size() / 3);
+  int nt = static_cast<int>(tbuf.size() / 3);
+  if (out_n_vertices != nullptr) *out_n_vertices = nv;
+  if (out_n_triangles != nullptr) *out_n_triangles = nt;
+  IHT_Status st = IHT_OK;
+  if (vertices != nullptr) {
+    if (vertex_cap_floats < vbuf.size()) {
+      st = IHT_ERR_BUFFER_TOO_SMALL;
+    } else {
+      std::memcpy(vertices, vbuf.data(), vbuf.size() * sizeof(float));
+    }
+  }
+  if (triangles != nullptr) {
+    if (triangle_cap_ints < tbuf.size()) {
+      st = IHT_ERR_BUFFER_TOO_SMALL;
+    } else {
+      std::memcpy(triangles, tbuf.data(), tbuf.size() * sizeof(int));
+    }
+  }
+  return st;
+}
+
 // ---- validation helpers (pure C++, no Python) ------------------------------
 
 int IHT_IsLegalFace(IHT_CrystalKind kind, int face) {
@@ -549,6 +889,31 @@ int IHT_ValidateRaypathText(const char* text, int kind) {
     }
   }
   return IHT_RAYPATH_VALID;
+}
+
+int IHT_IsShapeScalarApplicable(IHT_CrystalKind kind, int slot) {
+  // Unified 10-slot map (reference crystal_config.hpp:32-41): 0 = prism
+  // height, 1-3 = pyramid upper_h/prism_h/lower_h, 4-9 = face distances.
+  if (slot < 0 || slot >= 10) return 0;
+  if (slot >= 4) return 1;  // face distances: both kinds
+  switch (kind) {
+    case IHT_CRYSTAL_PRISM:
+      return slot == 0 ? 1 : 0;
+    case IHT_CRYSTAL_PYRAMID:
+      return slot >= 1 && slot <= 3 ? 1 : 0;
+  }
+  return 0;
+}
+
+const char* IHT_ShapeScalarSyncKeyName(IHT_CrystalKind kind, int slot) {
+  if (IHT_IsShapeScalarApplicable(kind, slot) == 0) return nullptr;
+  switch (slot) {
+    case 0: return "height";
+    case 1: return "upper_h";
+    case 2: return "prism_h";
+    case 3: return "lower_h";
+    default: return "face_distance";
+  }
 }
 
 }  // extern "C"
