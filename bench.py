@@ -1,16 +1,19 @@
 #!/usr/bin/env python
 """Benchmark: light single-scattering scene, steady-state rays/s on one chip.
 
-Mirrors the reference's canonical `bench_light_single_ms` scene (single
-hexagonal prism, full random orientation, D65 spectrum, rectangular
-2048x1024, max_hits 8 — examples/bench_config.json) and its measurement
-discipline (steady-rate window excluding compile/warm-up,
-doc/performance-testing.md:76-170).
+Mirrors the reference's canonical `bench_light_single_ms` scene EXACTLY
+(test/e2e/configs/bench_light_single_ms.json: single hexagonal prism
+h=1.2, zenith uniform 90/360, D65 spectrum, dual_fisheye_equal_area
+512x256 with 0.0872 overlap, max_hits 7) and its measurement discipline
+(steady-rate window excluding compile/warm-up,
+doc/performance-testing.md:76-170). The reference's published numbers for
+this scene/resolution: legacy CPU 10.45 M rays/s, CUDA RTX 4060 Ti
+130.5 M rays/s (doc/performance-testing.md:403-405).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 vs_baseline is against the reference's legacy CPU backend on this scene:
-10.45 M rays/s (doc/performance-testing.md:403-405).
+10.45 M rays/s.
 """
 
 import json
@@ -20,34 +23,33 @@ import time
 
 BASELINE_CPU_RAYS_PER_SEC = 10.45e6
 
+# The reference's bench_light_single_ms scene, field for field
+# (test/e2e/configs/bench_light_single_ms.json).
 BENCH_CFG = {
     "crystal": [
         {
             "id": 1,
             "type": "prism",
-            "shape": {"height": 1.0},
+            "shape": {"height": 1.2},
             "axis": {
-                "zenith": {"type": "uniform", "mean": 0.0, "std": 360.0},
+                "zenith": {"type": "uniform", "mean": 90.0, "std": 360.0},
                 "azimuth": {"type": "uniform", "mean": 0.0, "std": 360.0},
-                "roll": {"type": "uniform", "mean": 0.0, "std": 360.0},
             },
         }
     ],
     "filter": [],
     "scene": {
-        "light_source": {
-            "type": "sun", "altitude": 20.0, "azimuth": 0.0, "diameter": 0.5,
-            "spectrum": "D65",
-        },
+        "light_source": {"type": "sun", "altitude": 20.0, "spectrum": "D65"},
         "ray_num": 10000000,
-        "max_hits": 8,
-        "scattering": [{"prob": 0.0, "entries": [{"crystal": 1, "proportion": 100.0}]}],
+        "max_hits": 7,
+        "scattering": [{"prob": 0.0, "entries": [{"crystal": 1, "proportion": 10}]}],
     },
     "render": [
         {
             "id": 1,
-            "lens": {"type": "rectangular", "fov": 180.0},
-            "resolution": [2048, 1024],
+            "lens": {"type": "dual_fisheye_equal_area", "fov": 180.0},
+            "overlap": 0.0872,
+            "resolution": [512, 256],
             "view": {"azimuth": 0.0, "elevation": 0.0, "roll": 0.0},
             "visible": "full",
         }
@@ -105,9 +107,9 @@ def main() -> int:
         "rays": rays,
         "seconds": round(dt, 3),
         "batch_size": batch,
-        "resolution": [2048, 1024],
+        "resolution": [512, 256],
         "platform": platform,
-        "max_hits": 8,
+        "max_hits": 7,
     }))
     return 0
 
