@@ -41,6 +41,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ice_halo_sim_tpu.core import pallas_ops
+
 _NEG = -3.0e38  # effectively -inf for f32 cummax
 
 
@@ -142,12 +144,13 @@ def _marker_extract(key2, seg_cols, P: int, block: int = 16384):
          global pixel order, block g's markers are exactly the dense rows
          [start_g, start_g + m_g) with start = exclusive-cumsum of per-block
          marker counts.
-      3. A forward fori_loop of dynamic_update_slice writes each block's
-         full `block` rows at start_g: garbage rows past a block's markers
-         land in LATER blocks' ranges and are overwritten by them (a later
-         block never writes below its own start, so valid rows are never
-         clobbered). The output is padded by one block to absorb the last
-         block's tail, then sliced to P.
+      3. The block writes: each block's full `block` rows land at start_g —
+         garbage rows past a block's markers land in LATER blocks' ranges
+         and are overwritten by them (a later block never writes below its
+         own start, so valid rows are never clobbered). On TPU this is the
+         Pallas scatter kernel (pallas_ops.scatter_blocks, ~0 ms vs ~60 us
+         PER BLOCK for the XLA fori_loop-of-dynamic_update_slice it
+         replaces); elsewhere the fori_loop with a one-block pad.
     """
     M = key2.shape[0]
     G = M // block
@@ -163,6 +166,11 @@ def _marker_extract(key2, seg_cols, P: int, block: int = 16384):
         dimension=1,
         num_keys=1,
     )
+    if pallas_ops.available():
+        return jnp.stack(
+            [pallas_ops.scatter_blocks(c, start, P, block) for c in s[1:]],
+            axis=-1,
+        )
     vals = jnp.stack(s[1:], axis=-1)                      # [G, block, C]
     dense = jnp.zeros((P + block, vals.shape[-1]), vals.dtype)
 
@@ -212,6 +220,12 @@ def compact_rows(valid, cols, keep: int, block: int = 16384):
         dimension=1,
         num_keys=1,
     )
+    if pallas_ops.available():
+        return (
+            [pallas_ops.scatter_blocks(s[i + 1], start, keep, block)
+             for i in range(len(cols))],
+            jnp.sum(cnt),
+        )
     outs = tuple(
         jnp.zeros((G * block + block,), c.dtype) for c in cols
     )

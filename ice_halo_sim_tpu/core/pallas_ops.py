@@ -1,0 +1,223 @@
+"""Pallas TPU kernels for the accumulation fold's scatter stage.
+
+The fold (core/accum.py) turns scatter-add into sort + segmented scan +
+"block scatter": after a block-local row sort, block g's leading rows must
+land at dense offset start[g] (forward overwrite: a block's garbage tail
+falls into later blocks' ranges and is overwritten by them — see
+accum._marker_extract). XLA can only express that as a fori_loop of
+dynamic_update_slice — G serialized full-latency DMAs, measured ~60 us per
+block on v5e (~20+ ms per fold, the single largest cost in the renderer).
+
+This kernel does the same writes inside ONE Pallas program. Mosaic requires
+vector slices to be tile-aligned, so instead of writing at the raw offset,
+each block is rotated into place and blended into an ALIGNED window:
+
+  delta = start % 1024; window = out[start - delta : ... + block + 1024]
+  out_window = where(flat_index >= delta, roll_flat(block_rows, delta),
+                     window)
+
+roll_flat decomposes the traced delta into static sublane rolls (3 bits)
+plus static lane rolls with a cross-row carry (7 bits) — every primitive
+is a static-shift pltpu.roll, which Mosaic lowers natively. Two variants:
+
+  - VMEM-resident output (small dense images): the window blend is pure
+    vector ops; measured ~0 ms net at G=192 (vs 12+ ms XLA).
+  - HBM output with DMA read-modify-write windows (large buffers, e.g.
+    compact_rows' row buffers that exceed VMEM).
+
+Parity contract: bit-identical to the XLA fori_loop formulation (probe:
+scripts/probe_pallas_scatter.py; unit tests run the interpreter on CPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB_ALIGN = 8
+ALIGN = LANES * SUB_ALIGN      # 1024: flat element alignment of windows
+SUP = 8                        # blocks handled per grid step
+
+# VMEM budget for the dense output (leave room for input double-buffering).
+_VMEM_OUT_BYTES = 10 * 1024 * 1024
+
+# Test hook: run kernels through the Pallas interpreter (works on CPU) and
+# treat them as available. Set by tests only.
+INTERPRET = False
+
+
+def available() -> bool:
+    """True when the Pallas TPU lowering is usable on this backend."""
+    return INTERPRET or jax.default_backend() in ("tpu", "axon")
+
+
+def _flat_roll(buf, delta):
+    """Roll [R, 128] right by traced delta in [0, ALIGN) in flat row-major
+    order, using static rolls only. delta = r * 128 + l."""
+    r = delta // LANES
+    l = delta % LANES
+    a = buf
+    bit = 1
+    while bit < SUB_ALIGN:
+        a = jnp.where((r & bit) != 0, pltpu.roll(a, bit, 0), a)
+        bit <<= 1
+    b = pltpu.roll(a, 1, 0)     # one extra row: feeds lanes j < l
+    bit = 1
+    while bit < LANES:
+        take = (l & bit) != 0
+        a = jnp.where(take, pltpu.roll(a, bit, 1), a)
+        b = jnp.where(take, pltpu.roll(b, bit, 1), b)
+        bit <<= 1
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    return jnp.where(lane_iota < l, b, a)
+
+
+def _window_values(vals_ref, k, br, delta):
+    """Shifted window [br + SUB_ALIGN, LANES] for sub-block k of a
+    [SUP*br, LANES] VMEM input block."""
+    block2 = vals_ref[k * br : (k + 1) * br, :]
+    buf = jnp.concatenate(
+        [block2, jnp.zeros((SUB_ALIGN, LANES), block2.dtype)], axis=0
+    )
+    return _flat_roll(buf, delta)
+
+
+def _flat_iota(wr_rows):
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (wr_rows, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (wr_rows, LANES), 1)
+    )
+
+
+def _scatter_vmem(vals2, start, out_rows: int, br: int, limit: int):
+    """Dense output resident in VMEM for the whole grid."""
+    WR = br + SUB_ALIGN
+    Gp = vals2.shape[0] // br
+
+    def kernel(start_ref, vals_ref, out_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for k in range(SUP):
+            s = start_ref[g * SUP + k]
+
+            @pl.when(s < limit)
+            def _(k=k, s=s):
+                delta = s % ALIGN
+                wr = pl.multiple_of((s - delta) // LANES, SUB_ALIGN)
+                shifted = _window_values(vals_ref, k, br, delta)
+                window = out_ref[pl.ds(wr, WR), :]
+                out_ref[pl.ds(wr, WR), :] = jnp.where(
+                    _flat_iota(WR) >= delta, shifted, window
+                )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Gp // SUP,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUP * br, LANES), lambda g, s: (g, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), vals2.dtype),
+        interpret=INTERPRET,
+    )(start, vals2)
+
+
+def _scatter_hbm(vals2, start, out_rows: int, br: int, limit: int):
+    """Dense output in HBM; each window is a DMA read-modify-write through
+    a VMEM scratch (sequential — consecutive windows may overlap)."""
+    WR = br + SUB_ALIGN
+    Gp = vals2.shape[0] // br
+
+    def kernel(start_ref, zeros_ref, vals_ref, out_ref, win_ref, sem):
+        del zeros_ref  # aliased to out_ref: provides the zero init
+        g = pl.program_id(0)
+        for k in range(SUP):
+            s = start_ref[g * SUP + k]
+
+            @pl.when(s < limit)
+            def _(k=k, s=s):
+                delta = s % ALIGN
+                wr = pl.multiple_of((s - delta) // LANES, SUB_ALIGN)
+                load = pltpu.make_async_copy(
+                    out_ref.at[pl.ds(wr, WR), :], win_ref, sem
+                )
+                load.start()
+                load.wait()
+                shifted = _window_values(vals_ref, k, br, delta)
+                win_ref[:] = jnp.where(
+                    _flat_iota(WR) >= delta, shifted, win_ref[:]
+                )
+                store = pltpu.make_async_copy(
+                    win_ref, out_ref.at[pl.ds(wr, WR), :], sem
+                )
+                store.start()
+                store.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Gp // SUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (SUP * br, LANES), lambda g, s: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((WR, LANES), vals2.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros = jnp.zeros((out_rows, LANES), vals2.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), vals2.dtype),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(start, zeros, vals2)
+
+
+def scatter_blocks(vals, start, out_len: int, block: int):
+    """Forward-overwrite block scatter: out[start[g] : start[g] + block] =
+    vals[g] applied in ascending g, on a zero-initialized out[out_len].
+
+    vals: [G, block] (32-bit dtype), block % 1024 == 0.
+    start: [G] int32, nondecreasing. Blocks with start >= out_len are
+    skipped (their rows cannot land below out_len); a straddling block
+    writes its full window, absorbed by internal padding.
+    """
+    G, blk = vals.shape
+    assert blk % ALIGN == 0, blk
+    assert np.dtype(vals.dtype).itemsize == 4, vals.dtype
+    br = blk // LANES
+    Gp = -(-G // SUP) * SUP
+    if Gp != G:
+        vals = jnp.concatenate([vals, jnp.zeros((Gp - G, blk), vals.dtype)])
+        start = jnp.concatenate(
+            [start, jnp.full((Gp - G,), jnp.int32(0x7FFFFFF0))]
+        )
+    vals2 = vals.reshape(Gp * br, LANES)
+    # Rows covering [0, out_len + window), window-aligned.
+    out_rows = (-(-out_len // ALIGN)) * SUB_ALIGN + br + 2 * SUB_ALIGN
+    out_rows = -(-out_rows // SUB_ALIGN) * SUB_ALIGN
+    if out_rows * LANES * 4 <= _VMEM_OUT_BYTES:
+        dense = _scatter_vmem(vals2, start, out_rows, br, out_len)
+    else:
+        dense = _scatter_hbm(vals2, start, out_rows, br, out_len)
+    return dense.reshape(-1)[:out_len]

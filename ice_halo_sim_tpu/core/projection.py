@@ -242,11 +242,28 @@ class PixelHits(NamedTuple):
 def project(plan: ProjPlan, w_dir: jnp.ndarray) -> PixelHits:
     """Project world exit directions [B, 3] to pixels
     (ProjectExitToPixel, projection_shared.h:196-375)."""
+    return project_components(
+        plan, w_dir[..., 0], w_dir[..., 1], w_dir[..., 2]
+    )
+
+
+def project_components(plan: ProjPlan, wx, wy, wz) -> PixelHits:
+    """`project` on direction COMPONENT arrays of any (matching) shape — the
+    SoA hot path: the camera rotation is applied as scalar-coefficient
+    component math (plan.rot is a host constant), so no [N, 3] arrays with a
+    3-wide lane dimension ever exist."""
     t = plan.lens_type
-    wx, wy, wz = w_dir[..., 0], w_dir[..., 1], w_dir[..., 2]
-    rot = jnp.asarray(plan.rot)
+    r = plan.rot  # host numpy [3, 3]: scalar coefficients under jit
     W, H = plan.width, plan.height
     no_hit = jnp.full(wx.shape, -1, jnp.int32)
+
+    def cam(wx, wy, wz):
+        """Camera frame c = R^T (-w), componentwise."""
+        return (
+            -(float(r[0, 0]) * wx + float(r[1, 0]) * wy + float(r[2, 0]) * wz),
+            -(float(r[0, 1]) * wx + float(r[1, 1]) * wy + float(r[2, 1]) * wz),
+            -(float(r[0, 2]) * wx + float(r[1, 2]) * wy + float(r[2, 2]) * wz),
+        )
 
     def in_bounds(px, py, valid):
         ok = valid & (px >= 0) & (px < W) & (py >= 0) & (py < H)
@@ -265,10 +282,7 @@ def project(plan: ProjPlan, w_dir: jnp.ndarray) -> PixelHits:
             valid &= wz <= 0.0
         elif plan.visible == VisibleRange.LOWER:
             valid &= wz >= 0.0
-        # Camera frame: c = R^T (-w).
-        neg = -w_dir
-        c = jnp.einsum("ji,...j->...i", rot, neg)
-        cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+        cx, cy, cz = cam(wx, wy, wz)
         if t == LensType.LINEAR:
             safe_cz = jnp.where(cz > 0, cz, 1.0)
             x, y = cx / safe_cz, cy / safe_cz
@@ -316,9 +330,7 @@ def project(plan: ProjPlan, w_dir: jnp.ndarray) -> PixelHits:
         return PixelHits(main=main, overlap=overlap)
 
     if t == LensType.GLOBE:
-        neg = -w_dir
-        c = jnp.einsum("ji,...j->...i", rot, neg)
-        cx, cy, cz = c[..., 0], c[..., 1], c[..., 2]
+        cx, cy, cz = cam(wx, wy, wz)
         valid = cz < -1.0 / GLOBE_CAMERA_D
         denom = GLOBE_CAMERA_D + cz
         px = jnp.floor(-cx / denom * plan.scale + W / 2.0 + 0.5 + plan.shift_x).astype(jnp.int32)

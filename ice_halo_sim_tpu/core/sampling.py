@@ -112,6 +112,29 @@ def sample_sun_dirs(seed, idx, sun_azimuth_deg: float, sun_altitude_deg: float,
     )
 
 
+def sample_sun_dirs_soa(seed, idx, sun_azimuth_deg: float, sun_altitude_deg: float,
+                        sun_diameter_deg: float):
+    """sample_sun_dirs in component form: returns (dx, dy, dz) each [B]
+    (same RNG slots 0-1, same math — no [B, 3] stack in the hot path)."""
+    lon = jnp.deg2rad(jnp.float32(sun_azimuth_deg + 180.0))
+    lat = jnp.deg2rad(jnp.float32(-sun_altitude_deg))
+    half = jnp.deg2rad(jnp.float32(sun_diameter_deg / 2.0))
+    u = rng.uniform(seed, idx, 0)
+    c_cap = jnp.cos(half)
+    x = u + (1.0 - u) * c_cap
+    r = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))
+    phi = rng.uniform(seed, idx, 1) * jnp.float32(2 * np.pi)
+    y = jnp.cos(phi) * r
+    z = jnp.sin(phi) * r
+    c_lon, s_lon = jnp.cos(lon), jnp.sin(lon)
+    c_lat, s_lat = jnp.cos(lat), jnp.sin(lat)
+    return (
+        c_lon * c_lat * x - s_lon * y - c_lon * s_lat * z,
+        s_lon * c_lat * x + c_lon * y - s_lon * s_lat * z,
+        s_lat * x + c_lat * z,
+    )
+
+
 def invert_lat_lut(xi, theta_nodes, cdf_nodes):
     """Inverse-CDF lookup (pcg_shared.h:345-370).
 

@@ -51,6 +51,7 @@ from ice_halo_sim_tpu.core import (
     rng,
     sampling,
     trace,
+    trace_soa,
 )
 from ice_halo_sim_tpu.core import accum as accum_mod
 
@@ -513,6 +514,10 @@ class Engine:
         u32, mask [N_r] u32) SPECTRAL contribution rows — the XYZ/lane
         channels are expanded at fold time (accum.fold_spectral recomputes
         the CMF basis after its sort so only one f32 column rides it).
+
+        The whole hot path is SoA (core/trace_soa.py): directions are
+        component triples, per-slot arrays are [H, B] slot-major, so every
+        elementwise op runs with the batch in the 128-wide lane dimension.
         """
         B = self.batch_size
         lane = jnp.arange(B, dtype=jnp.uint32)
@@ -522,7 +527,7 @@ class Engine:
         wl, w0, wl_idx = self._wavelength_draw(ray_idx, batch_counter)
         n_ior = optics.ice_refractive_index(wl)
 
-        d_world = sampling.sample_sun_dirs(
+        d_world = sampling.sample_sun_dirs_soa(
             seed0 ^ rng.NONCE_SUN, ray_idx,
             self.cfg.light.sun.azimuth, self.cfg.light.sun.altitude,
             self.cfg.light.sun.diameter,
@@ -539,9 +544,7 @@ class Engine:
         cont_demand = []   # pre-truncation continuation counts per boundary
         n_layers = len(self.layers)
         for li, plan in enumerate(self.layers):
-            b_layer = len(plan.setting_idx)
             layer_seed = seed0 ^ jnp.uint32(0xA5A5 * (li + 1))
-            setting_idx = jnp.asarray(plan.setting_idx)
             pool = self._sample_layer_pool(li, plan, batch_counter)
 
             if li > 0:
@@ -570,27 +573,41 @@ class Engine:
             lon = jnp.concatenate(lons) if len(lons) > 1 else lons[0]
             lat = jnp.concatenate(lats) if len(lats) > 1 else lats[0]
             roll = jnp.concatenate(rolls) if len(rolls) > 1 else rolls[0]
-            rot = sampling.build_rotation(lon, lat, roll)
+            rot = trace_soa.rot_components(lon, lat, roll)
 
-            exits = trace.trace_layer(
-                layer_seed, ray_idx, d_world, w0, rot, None, pool, n_ior, self.max_hits,
+            exits = trace_soa.trace_layer_soa(
+                layer_seed, ray_idx, d_world, w0, rot, pool, n_ior,
+                self.max_hits,
                 setting_blocks=tuple(zip(plan.k_per_setting, plan.setting_counts)),
             )
 
             H = self.max_hits
-            exit_w = exits.w                                  # [B_l, H]
-            exit_d = exits.d_world                            # [B_l, H, 3]
-            # Traced segments = bounces until lane death = deepest recorded
-            # path prefix per ray (reference ray_seg_num accounting).
+            exit_w = exits.w                                  # [H, B_l]
+            # Traced segments = bounces until lane death = deepest live
+            # exit slot per ray (reference ray_seg_num accounting).
+            slot_len = jnp.arange(1, H + 1, dtype=jnp.int32)[:, None]
             seg_count = seg_count + jnp.sum(
-                jnp.max(exits.path_len, axis=1).astype(jnp.uint32)
+                jnp.max(
+                    jnp.where(exit_w > 0.0, slot_len, 0), axis=0
+                ).astype(jnp.uint32)
             )
 
             # Filter emit gate (Design A: the filter runs simulator-side and a
             # failing exit neither accumulates nor continues,
-            # doc/filter-architecture.md / CollectData 1.3). Exit slot h has
-            # path prefix length h + 1, so the per-slot check reuses the
-            # shared path buffer with a constant length.
+            # doc/filter-architecture.md / CollectData 1.3). Filters consume
+            # AoS [c, L] path buffers; the transposes run only for filtered
+            # settings.
+            need_dirs_aos = any(fp is not None for fp in plan.filter_plans) or (
+                n_classes and any(plan.color_plans)
+            )
+            if need_dirs_aos:
+                path_aos = exits.path.T                       # [B_l, H]
+                len_aos = jnp.where(
+                    exit_w > 0.0, slot_len, 0
+                ).T.astype(jnp.int32)                         # [B_l, H]
+                dirs_aos = jnp.stack(
+                    [exits.dx.T, exits.dy.T, exits.dz.T], axis=-1
+                )                                             # [B_l, H, 3]
             if any(fp is not None for fp in plan.filter_plans):
                 seg_masks = []
                 off = 0
@@ -603,19 +620,19 @@ class Engine:
                     else:
                         seg_masks.append(
                             filters.check_exits_slots(
-                                fp, exits.path[off : off + c],
-                                exits.path_len[off : off + c],
-                                exit_d[off : off + c],
+                                fp, path_aos[off : off + c],
+                                len_aos[off : off + c],
+                                dirs_aos[off : off + c],
                             )
                         )
                     off += c
                 fmask = jnp.concatenate(seg_masks) if len(seg_masks) > 1 else seg_masks[0]
-                exit_w = jnp.where(fmask, exit_w, 0.0)
+                exit_w = jnp.where(fmask.T, exit_w, 0.0)
 
             # Probability gate per exit slot (stream: ray idx, slot 100 + h).
             gate_seed = layer_seed ^ rng.NONCE_GATE
-            slot_ids = jnp.arange(H, dtype=jnp.uint32)[None, :]
-            u = rng.uniform(gate_seed, ray_idx[:, None], jnp.uint32(100) + slot_ids)  # [B_l, H]
+            slot_ids = jnp.arange(H, dtype=jnp.uint32)[:, None]
+            u = rng.uniform(gate_seed, ray_idx[None, :], jnp.uint32(100) + slot_ids)  # [H, B_l]
             is_last = li == n_layers - 1
             if plan.prob > 0.0 and not is_last:
                 to_continue = (u < plan.prob) & (exit_w > 0.0)
@@ -630,7 +647,7 @@ class Engine:
             # Component mask per exit: carried bits OR bits produced by this
             # layer's color predicates (evaluated per setting segment on the
             # exit's path — CollectData Design-2 color pass semantics).
-            exit_mask = jnp.broadcast_to(carried_mask[:, None], exit_w.shape)
+            exit_mask = jnp.broadcast_to(carried_mask[None, :], exit_w.shape)
             if n_classes and any(plan.color_plans):
                 seg_bits = []
                 off = 0
@@ -640,21 +657,23 @@ class Engine:
                     bits = jnp.zeros((c, H), jnp.uint32)
                     for bit_idx, cplan in plan.color_plans[s]:
                         match = filters.check_exits_slots(
-                            cplan, exits.path[off : off + c],
-                            exits.path_len[off : off + c],
-                            exit_d[off : off + c],
+                            cplan, path_aos[off : off + c],
+                            len_aos[off : off + c],
+                            dirs_aos[off : off + c],
                         )
                         bits = bits | jnp.where(match, jnp.uint32(1 << bit_idx), 0)
                     seg_bits.append(bits)
                     off += c
                 produced = jnp.concatenate(seg_bits) if len(seg_bits) > 1 else seg_bits[0]
-                exit_mask = exit_mask | produced
+                exit_mask = exit_mask | produced.T
 
-            acc_w = jnp.where(acc_mask, exit_w, 0.0)          # [B_l, H]
+            acc_w = jnp.where(acc_mask, exit_w, 0.0)          # [H, B_l]
             flat_w = acc_w.reshape(-1)
-            flat_d = exit_d.reshape(-1, 3)
+            flat_dx = exits.dx.reshape(-1)
+            flat_dy = exits.dy.reshape(-1)
+            flat_dz = exits.dz.reshape(-1)
             flat_mask = exit_mask.reshape(-1)
-            flat_idx = jnp.broadcast_to(wl_idx[:, None], exit_w.shape).reshape(-1)
+            flat_idx = jnp.broadcast_to(wl_idx[None, :], exit_w.shape).reshape(-1)
 
             # The XYZ + per-class Y-lane channels are NOT expanded here: a
             # contribution row is (pixel, weight, wl-pool idx, mask) and the
@@ -662,7 +681,9 @@ class Engine:
             # the mono image — the shared-exposure hard invariant,
             # render.cpp:398 — holds because lanes reuse the same rows).
             for r, pplan in enumerate(self.proj_plans):
-                hits = projection.project(pplan, flat_d)
+                hits = projection.project_components(
+                    pplan, flat_dx, flat_dy, flat_dz
+                )
                 main_ok = (hits.main >= 0) & (flat_w > 0.0)
                 pix = jnp.where(main_ok, hits.main, -1)
                 w_row = jnp.where(main_ok, flat_w, 0.0)
@@ -714,10 +735,7 @@ class Engine:
                     | (row_hash & jnp.uint32(0x7FFFFF)).astype(jnp.int32),
                     jnp.int32(0x7FFFFFF0),
                 )
-                idx_flat_c = jnp.broadcast_to(
-                    wl_idx[:, None], exit_w.shape
-                ).reshape(-1)
-                flat_d3 = exit_d.reshape(-1, 3)
+                idx_flat_c = flat_idx
                 # The component-mask column rides the sort only when color
                 # classes exist (one less payload column otherwise).
                 mask_ops = (
@@ -726,7 +744,7 @@ class Engine:
                 )
                 sorted_ops = jax.lax.sort(
                     (key, cont_w_all, idx_flat_c) + mask_ops
-                    + (flat_d3[:, 0], flat_d3[:, 1], flat_d3[:, 2]),
+                    + (flat_dx, flat_dy, flat_dz),
                     num_keys=1,
                 )
                 if n_classes:
@@ -737,18 +755,15 @@ class Engine:
                 n_flat = cont_w_all.shape[0]
                 if n_flat >= cap:
                     sel_w = s_w[:cap]
-                    cont_d = jnp.stack(
-                        [s_dx[:cap], s_dy[:cap], s_dz[:cap]], axis=-1
-                    )
+                    c_dx, c_dy, c_dz = s_dx[:cap], s_dy[:cap], s_dz[:cap]
                     cont_idx_raw = s_idx[:cap]
                     cont_mask_raw = s_mask[:cap].astype(jnp.uint32)
                 else:
                     pad = cap - n_flat
                     sel_w = jnp.pad(s_w, (0, pad))
-                    cont_d = jnp.pad(
-                        jnp.stack([s_dx, s_dy, s_dz], axis=-1),
-                        ((0, pad), (0, 0)),
-                    )
+                    c_dx = jnp.pad(s_dx, (0, pad))
+                    c_dy = jnp.pad(s_dy, (0, pad))
+                    c_dz = jnp.pad(s_dz, (0, pad))
                     cont_idx_raw = jnp.pad(s_idx, (0, pad))
                     cont_mask_raw = jnp.pad(s_mask, (0, pad)).astype(jnp.uint32)
                 live = sel_w > 0.0
@@ -757,10 +772,12 @@ class Engine:
                 # benign (finite IOR); weights are zero anyway.
                 cont_idx = jnp.where(live, cont_idx_raw, 0).astype(jnp.uint32)
                 cont_mask = jnp.where(live, cont_mask_raw, 0)
-                cont_d = jnp.where(live[:, None], cont_d, 0.0)
+                c_dx = jnp.where(live, c_dx, 0.0)
+                c_dy = jnp.where(live, c_dy, 0.0)
+                c_dz = jnp.where(live, c_dz, 0.0)
                 dropped_w = dropped_w + jnp.sum(cont_w_all) - jnp.sum(cont_wv)
                 next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
-                cont = (cont_d, cont_wv, cont_idx, next_ray_idx, cont_mask)
+                cont = ((c_dx, c_dy, c_dz), cont_wv, cont_idx, next_ray_idx, cont_mask)
 
         contribs = []
         for r in range(n_renders):
