@@ -45,6 +45,11 @@ from ice_halo_sim_tpu.core import pallas_ops
 
 _NEG = -3.0e38  # effectively -inf for f32 cummax
 
+# Row-block size for the block-local sorts (compaction + marker extraction).
+# Dim-1 sort cost scales ~ log^2(block); 4096 measures ~25% cheaper per row
+# than 16384 on v5e while keeping the Pallas scatter window count small.
+BLOCK = 4096
+
 
 def scatter_accumulate(acc, pix, vals):
     """Baseline: XLA scatter-add. pix < 0 or >= P rows are dropped."""
@@ -70,7 +75,7 @@ def sort_accumulate(acc, pix, vals, chunk: int = 2048):
     keys = jnp.concatenate([key_contrib, jnp.arange(P, dtype=pix.dtype) * 2 + 1])
     M = N + P
     # Pad to an extraction-block multiple with beyond-everything keys.
-    block = chunk if chunk > 16384 else 16384
+    block = chunk if chunk > BLOCK else BLOCK
     pad = -(-M // block) * block - M
     if pad:
         keys = jnp.concatenate([keys, jnp.full(pad, 2 * P + 2, keys.dtype)])
@@ -129,7 +134,7 @@ def _segmented_totals(sk, chans, pix_of, chunk):
     return [seg[:, c] for c in range(C)]
 
 
-def _marker_extract(key2, seg_cols, P: int, block: int = 16384):
+def _marker_extract(key2, seg_cols, P: int, block: int = BLOCK):
     """Dense [P, C] from scanned rows, WITHOUT a second global sort.
 
     key2: [M] = pixel id for marker rows, >= P for every other row, where
@@ -180,7 +185,7 @@ def _marker_extract(key2, seg_cols, P: int, block: int = 16384):
     return jax.lax.fori_loop(0, G, body, dense)[:P]
 
 
-def compact_rows(valid, cols, keep: int, block: int = 16384):
+def compact_rows(valid, cols, keep: int, block: int = BLOCK):
     """Compact rows flagged `valid` into a static-length prefix.
 
     cols: list of [N] 1-D arrays (mixed dtypes). Returns (sliced_cols,
@@ -240,6 +245,47 @@ def compact_rows(valid, cols, keep: int, block: int = 16384):
     return [o[:keep] for o in outs], jnp.sum(cnt)
 
 
+def compact_by_key(key, cols, keep: int, block: int = BLOCK):
+    """Compact rows whose packed sort key != 0xFFFFFFFF into a static-length
+    prefix, carrying `cols` along. The slim fold prepass: the key doubles as
+    the validity flag (pack_spectral_keys sends dead rows to 0xFFFFFFFF), so
+    the block sort carries len(cols) + 1 operands total instead of
+    compact_rows' separate 0/1 key + pixel + wl columns.
+
+    Returns ((key', cols'...), n_valid): each output is [keep]; exact when
+    n_valid <= keep (caller guards). Rows past the last valid row are
+    either real dead rows (key 0xFFFFFFFF) or zero-filled (key 0 with w 0 —
+    a zero-weight contribution to pixel 0, which folds to nothing).
+    """
+    N = key.shape[0]
+    G = -(-N // block)
+    pad = G * block - N
+    if pad:
+        key = jnp.concatenate([key, jnp.full(pad, 0xFFFFFFFF, key.dtype)])
+        cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in cols]
+    kb = key.reshape(G, block)
+    cnt = jnp.sum((kb != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32), axis=1)
+    start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1]])
+    s = jax.lax.sort(
+        tuple([kb] + [c.reshape(G, block) for c in cols]),
+        dimension=1,
+        num_keys=1,
+    )
+    if pallas_ops.available():
+        outs = [pallas_ops.scatter_blocks(x, start, keep, block) for x in s]
+        return tuple(outs), jnp.sum(cnt)
+    dense = tuple(jnp.zeros((G * block + block,), x.dtype) for x in s)
+
+    def body(g, outs):
+        return tuple(
+            jax.lax.dynamic_update_slice(o, s[i][g], (start[g],))
+            for i, o in enumerate(outs)
+        )
+
+    dense = jax.lax.fori_loop(0, G, body, dense)
+    return tuple(o[:keep] for o in dense), jnp.sum(cnt)
+
+
 def spectral_key_bits(n_pixels: int, k_pool: int) -> bool:
     """True iff (pixel, wl-idx, marker) packs into a u32 sort key.
 
@@ -248,6 +294,89 @@ def spectral_key_bits(n_pixels: int, k_pool: int) -> bool:
     pixel's marker — hence (P+1)*2K, not P*2K.
     """
     return (n_pixels + 1) * 2 * k_pool <= (1 << 32)
+
+
+def pack_spectral_keys(pix, w, wl_idx, n_pixels: int, k_pool: int):
+    """Pack (pixel, wl-pool idx) contribution rows into the fold's u32 sort
+    key: pixel * 2K | wl_idx * 2 (even = contribution). Invalid rows
+    (out-of-range pixel or zero weight) key to 0xFFFFFFFF, which sorts past
+    every marker AND decodes to a pixel >= n_pixels (spectral_key_bits).
+    Returns (key [N] u32, w [N] with invalid rows zeroed)."""
+    assert k_pool & (k_pool - 1) == 0, "k_pool must be a power of two"
+    assert spectral_key_bits(n_pixels, k_pool), "pixel*wl key exceeds u32"
+    shift = (2 * k_pool).bit_length() - 1  # log2(2K)
+    valid = (pix >= 0) & (pix < n_pixels) & (w > 0.0)
+    upix = jnp.where(valid, pix, 0).astype(jnp.uint32)
+    key = jnp.where(
+        valid,
+        (upix << shift) | ((wl_idx.astype(jnp.uint32) & jnp.uint32(k_pool - 1)) << 1),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    return key, jnp.where(valid, w, 0.0)
+
+
+def fold_spectral_keys(
+    acc, key, w, k_pool: int, basis_fn, lane_specs=(), mask=None,
+    prefix_len=None, chunk: int = 2048,
+):
+    """Scatter-free spectral fold over PRE-PACKED keys (pack_spectral_keys).
+
+    ONE global sort carries everything: dead rows (key 0xFFFFFFFF) sort past
+    all P markers, so the sort doubles as the dead-row compaction — no
+    separate compaction prepass exists. When `prefix_len` (static, multiple
+    of the 16384 extraction block) is given, the scan + extraction stages run
+    on only the first prefix_len sorted rows; this is EXACT iff
+    live_rows + P <= prefix_len (the caller guards with lax.cond on the
+    measured live count and falls back to the full length).
+
+    acc: [P, 3 + L]; key/w/mask: [N]; basis_fn: (wl_idx [M] u32) -> [M, 3].
+    """
+    P = acc.shape[0]
+    L = len(lane_specs)
+    N = key.shape[0]
+    shift = (2 * k_pool).bit_length() - 1
+    marker_keys = (
+        (jnp.arange(P, dtype=jnp.uint32) << shift) | jnp.uint32(2 * k_pool - 1)
+    )
+
+    keys = jnp.concatenate([key, marker_keys])
+    w_all = jnp.concatenate([w, jnp.zeros(P, w.dtype)])
+    M = N + P
+    block = chunk if chunk > BLOCK else BLOCK
+    pad = -(-M // block) * block - M
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
+        w_all = jnp.concatenate([w_all, jnp.zeros(pad, w.dtype)])
+
+    operands = [keys, w_all]
+    if L:
+        mask_all = jnp.concatenate(
+            [mask.astype(jnp.uint32), jnp.zeros(P + pad, jnp.uint32)]
+        )
+        operands.append(mask_all)
+    s = jax.lax.sort(tuple(operands), num_keys=1)
+    if prefix_len is not None and prefix_len < M + pad:
+        assert prefix_len % block == 0, prefix_len
+        s = tuple(x[:prefix_len] for x in s)
+    sk, sw = s[0], s[1]
+
+    basis = basis_fn((sk >> 1) & jnp.uint32(k_pool - 1))   # [M', 3]
+    chans = [basis[:, c] * sw for c in range(3)]
+    if L:
+        smask = s[2]
+        y = chans[1]
+        for bits, combine_all in lane_specs:
+            b = jnp.uint32(bits)
+            member = (
+                (smask & b) == b if combine_all else (smask & b) != 0
+            )
+            chans.append(jnp.where(member, y, 0.0))
+
+    seg = _segmented_totals(sk, chans, lambda k: k >> shift, chunk)
+
+    is_marker = (sk & jnp.uint32(2 * k_pool - 1)) == jnp.uint32(2 * k_pool - 1)
+    key2 = jnp.where(is_marker, sk >> shift, jnp.uint32(0xFFFFFFFF))
+    return acc + _marker_extract(key2, seg, P, block)
 
 
 def fold_spectral(
@@ -272,60 +401,13 @@ def fold_spectral(
     its marker row; invalid/pad rows key to 0xFFFFFFFF past every marker.
     """
     P = acc.shape[0]
-    L = len(lane_specs)
-    N = pix.shape[0]
-    assert k_pool & (k_pool - 1) == 0, "k_pool must be a power of two"
-    assert spectral_key_bits(P, k_pool), "pixel*wl key exceeds u32"
-    shift = (2 * k_pool).bit_length() - 1  # log2(2K)
-
-    valid = (pix >= 0) & (pix < P) & (w > 0.0)
-    upix = jnp.where(valid, pix, 0).astype(jnp.uint32)
-    key_c = jnp.where(
-        valid,
-        (upix << shift) | ((wl_idx.astype(jnp.uint32) & jnp.uint32(k_pool - 1)) << 1),
-        jnp.uint32(0xFFFFFFFF),
+    key, w = pack_spectral_keys(pix, w, wl_idx, P, k_pool)
+    if mask is not None:
+        mask = jnp.where(key != jnp.uint32(0xFFFFFFFF), mask, 0)
+    return fold_spectral_keys(
+        acc, key, w, k_pool, basis_fn, lane_specs=lane_specs, mask=mask,
+        chunk=chunk,
     )
-    w = jnp.where(valid, w, 0.0)
-    marker_keys = (
-        (jnp.arange(P, dtype=jnp.uint32) << shift) | jnp.uint32(2 * k_pool - 1)
-    )
-
-    keys = jnp.concatenate([key_c, marker_keys])
-    w_all = jnp.concatenate([w, jnp.zeros(P, w.dtype)])
-    M = N + P
-    block = chunk if chunk > 16384 else 16384
-    pad = -(-M // block) * block - M
-    if pad:
-        keys = jnp.concatenate([keys, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
-        w_all = jnp.concatenate([w_all, jnp.zeros(pad, w.dtype)])
-
-    operands = [keys, w_all]
-    if L:
-        mask_all = jnp.concatenate(
-            [jnp.where(valid, mask, 0).astype(jnp.uint32),
-             jnp.zeros(P + pad, jnp.uint32)]
-        )
-        operands.append(mask_all)
-    s = jax.lax.sort(tuple(operands), num_keys=1)
-    sk, sw = s[0], s[1]
-
-    basis = basis_fn((sk >> 1) & jnp.uint32(k_pool - 1))   # [M', 3]
-    chans = [basis[:, c] * sw for c in range(3)]
-    if L:
-        smask = s[2]
-        y = chans[1]
-        for bits, combine_all in lane_specs:
-            b = jnp.uint32(bits)
-            member = (
-                (smask & b) == b if combine_all else (smask & b) != 0
-            )
-            chans.append(jnp.where(member, y, 0.0))
-
-    seg = _segmented_totals(sk, chans, lambda k: k >> shift, chunk)
-
-    is_marker = (sk & jnp.uint32(2 * k_pool - 1)) == jnp.uint32(2 * k_pool - 1)
-    key2 = jnp.where(is_marker, sk >> shift, jnp.uint32(0xFFFFFFFF))
-    return acc + _marker_extract(key2, seg, P, block)
 
 
 def accumulate(acc, pix, vals, method: str = "auto"):

@@ -821,13 +821,14 @@ class Engine:
         """One batch, folded into the accumulators immediately.
 
         accum: tuple of per-render [H*W, C] XYZ(+lanes) + [R] landed
-        weights (donated). keep: optional static tuple per render — compact
-        contribution rows to that many before the fold (None entry = no
-        compaction for that render); a batch whose live rows overflow its
-        `keep` falls back to the uncompacted fold via lax.cond, so the
-        result is exact either way. plan_version: static cache-buster — it
-        must change whenever self.layers is rebuilt (continuation-cap
-        calibration) so jit retraces against the new plans.
+        weights (donated). keep: optional static tuple per render — run the
+        fold's scan/extraction stages on only that many sorted rows (the
+        fold's ONE sort pushes all dead rows past every marker, so a
+        prefix of live_rows + P sorted rows is exact; a batch whose live
+        rows overflow falls back to the full-length stages via lax.cond).
+        plan_version: static cache-buster — it must change whenever
+        self.layers is rebuilt (continuation-cap calibration) so jit
+        retraces against the new plans.
 
         Returns (accum', dropped_w, seg_count, live_counts[R],
         cont_demand[L-1]) — the counts feed host-side calibration.
@@ -840,39 +841,60 @@ class Engine:
         xyz_acc = list(accum[:-1])
         landed = accum[-1] + landed_add
         live_counts = []
+        basis_fn = partial(self._xyz_basis, batch_counter=batch_counter)
         for r, (pix, w, wl_idx, mask) in enumerate(contribs):
-            live = jnp.sum((w > 0.0).astype(jnp.uint32))
-            live_counts.append(live)
-            kr = keep[r] if keep is not None else None
+            P = xyz_acc[r].shape[0]
+            if method != "sort":
+                live_counts.append(jnp.sum((w > 0.0).astype(jnp.uint32)))
 
-            def fold(acc, pix=pix, w=w, wl_idx=wl_idx, mask=mask):
-                if method == "sort":
-                    return accum_mod.fold_spectral(
-                        acc, pix, w, wl_idx, self.k_pool,
-                        partial(self._xyz_basis, batch_counter=batch_counter),
-                        lane_specs=tuple(self.color_classes),
-                        mask=mask,
+                def fold_other(acc, pix=pix, w=w, wl_idx=wl_idx, mask=mask):
+                    vals = self._expand_vals(w, wl_idx, mask, batch_counter)
+                    return accum_mod.accumulate(
+                        acc, pix, vals,
+                        method="sort" if method == "sort-legacy" else method,
                     )
-                vals = self._expand_vals(w, wl_idx, mask, batch_counter)
-                return accum_mod.accumulate(
-                    acc, pix, vals,
-                    method="sort" if method == "sort-legacy" else method,
+
+                xyz_acc[r] = fold_other(xyz_acc[r])
+                continue
+
+            key, wz = accum_mod.pack_spectral_keys(pix, w, wl_idx, P, self.k_pool)
+            live = jnp.sum((wz > 0.0).astype(jnp.uint32))
+            live_counts.append(live)
+            if n_classes:
+                mask = jnp.where(key != jnp.uint32(0xFFFFFFFF), mask, 0)
+
+            def fold(acc, key=key, wz=wz, mask=mask):
+                return accum_mod.fold_spectral_keys(
+                    acc, key, wz, self.k_pool, basis_fn,
+                    lane_specs=tuple(self.color_classes),
+                    mask=mask if n_classes else None,
                 )
 
-            if kr is None or method != "sort":
+            kr = keep[r] if keep is not None else None
+            if kr is None:
                 xyz_acc[r] = fold(xyz_acc[r])
             else:
-                cols = [pix, w, wl_idx] + ([mask] if n_classes else [])
-                sl, n_valid = accum_mod.compact_rows(w > 0.0, cols, kr)
+                # Slim compaction prepass: ONE block-local sort by the packed
+                # key (dead rows past everything) + the Pallas block scatter.
+                # The global fold sort then runs on keep + P rows instead of
+                # n_rows + P — lax.sort is strongly superlinear past the
+                # VMEM-locality knee (measured 4.3 ms at 3.7 M rows vs
+                # 19.8 ms at 7.5 M on v5e), so the short global sort pays
+                # for the (VMEM-local, cheap) block sort several times over.
+                cols = [wz] + ([mask] if n_classes else [])
+                compacted, _n_valid = accum_mod.compact_by_key(key, cols, kr)
 
-                def fold_compacted(acc, sl=sl):
-                    return fold(
-                        acc, pix=sl[0], w=sl[1], wl_idx=sl[2],
-                        mask=sl[3] if n_classes else None,
+                def fold_prefix(acc, compacted=compacted):
+                    ck, cw = compacted[0], compacted[1]
+                    cm = compacted[2] if n_classes else None
+                    return accum_mod.fold_spectral_keys(
+                        acc, ck, cw, self.k_pool, basis_fn,
+                        lane_specs=tuple(self.color_classes),
+                        mask=cm,
                     )
 
                 xyz_acc[r] = jax.lax.cond(
-                    n_valid <= jnp.int32(kr), fold_compacted, fold, xyz_acc[r]
+                    live <= jnp.uint32(kr), fold_prefix, fold, xyz_acc[r]
                 )
         return (
             tuple(xyz_acc) + (landed,), dropped_w, seg_count,
@@ -976,7 +998,7 @@ class Engine:
            so the jitted step retraces.
         2. Dead-row fold compaction: pays when well under ~60% of
            contribution rows are live (the prepass costs one extra block
-           rowsort); margin 1.35x absorbs per-batch Monte-Carlo
+           rowsort); margin 1.15x absorbs per-batch Monte-Carlo
            fluctuation, and an overflowing batch falls back to the
            uncompacted fold inside the step (lax.cond), so a bad
            calibration costs speed, never correctness.
@@ -1007,10 +1029,14 @@ class Engine:
         if self._resolved_accum_method() != "sort":
             return
         live_avg = np.asarray(live, np.float64) / max(1, n_steps)
-        block = 16384
+        block = accum_mod.BLOCK
         keep = []
         for r, n_rows in enumerate(self._rows_per_render):
-            target = int(np.ceil(live_avg[r] * 1.35 / block)) * block
+            # Live-row prefix (with Monte-Carlo margin) the compaction
+            # prepass keeps; the global fold sort then runs on keep + P
+            # rows. Worth the extra block sort only when it meaningfully
+            # shortens the superlinear global sort.
+            target = int(np.ceil(live_avg[r] * 1.15 / block)) * block
             if n_rows >= 2 * block and target <= 0.6 * n_rows:
                 keep.append(max(block, target))
             else:
