@@ -41,7 +41,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ice_halo_sim_tpu.core import pallas_ops
+from ice_halo_sim_tpu.core import pallas_ops, pallas_scan
 
 _NEG = -3.0e38  # effectively -inf for f32 cummax
 
@@ -360,19 +360,25 @@ def fold_spectral_keys(
         s = tuple(x[:prefix_len] for x in s)
     sk, sw = s[0], s[1]
 
-    basis = basis_fn((sk >> 1) & jnp.uint32(k_pool - 1))   # [M', 3]
-    chans = [basis[:, c] * sw for c in range(3)]
-    if L:
-        smask = s[2]
-        y = chans[1]
-        for bits, combine_all in lane_specs:
-            b = jnp.uint32(bits)
-            member = (
-                (smask & b) == b if combine_all else (smask & b) != 0
-            )
-            chans.append(jnp.where(member, y, 0.0))
-
-    seg = _segmented_totals(sk, chans, lambda k: k >> shift, chunk)
+    if L == 0 and pallas_scan.available():
+        # Fused basis + segmented scan: one Pallas pass instead of the
+        # ~8-stage XLA chain (basis expand, flags, cumsum/cummax/select
+        # per channel, carry scan).
+        tbl = basis_fn(jnp.arange(k_pool, dtype=jnp.uint32))   # [K, 3]
+        seg = pallas_scan.fused_scan_call(sk, sw, tbl, shift, k_pool)
+    else:
+        basis = basis_fn((sk >> 1) & jnp.uint32(k_pool - 1))   # [M', 3]
+        chans = [basis[:, c] * sw for c in range(3)]
+        if L:
+            smask = s[2]
+            y = chans[1]
+            for bits, combine_all in lane_specs:
+                b = jnp.uint32(bits)
+                member = (
+                    (smask & b) == b if combine_all else (smask & b) != 0
+                )
+                chans.append(jnp.where(member, y, 0.0))
+        seg = _segmented_totals(sk, chans, lambda k: k >> shift, chunk)
 
     is_marker = (sk & jnp.uint32(2 * k_pool - 1)) == jnp.uint32(2 * k_pool - 1)
     key2 = jnp.where(is_marker, sk >> shift, jnp.uint32(0xFFFFFFFF))

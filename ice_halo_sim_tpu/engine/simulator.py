@@ -703,21 +703,26 @@ class Engine:
                 next_plan = self.layers[li + 1]
                 cap = next_plan.cont_cap
                 cont_w_all = jnp.where(to_continue, exit_w, 0.0).reshape(-1)
-                cont_mask = cont_w_all > 0.0
-                cont_demand.append(jnp.sum(cont_mask.astype(jnp.uint32)))
-                # Compaction + shuffle as ONE multi-operand sort.
-                # Arbitrary-index scatters and gathers are near-serial on
-                # TPU (~12 M updates/s measured); lax.sort is fast
-                # (~300 M rows/s) and carries every payload column with it,
-                # so the whole continuation pass is sort + static slice.
-                # Key layout (int32): live rows get
-                # (inverted weight bucket) << 23 | hash(row) -- so when
-                # continuations overflow `cap`, the LOWEST-weight rows are
-                # the ones dropped (energy-least-first truncation), and
-                # rows within a weight bucket land in hash order, keeping
-                # the decorrelated ray->crystal pairing the reference's
-                # Feistel shuffle exists for (trace_backend.hpp:334-349).
-                # Dead rows key past every live bucket.
+                cont_live = cont_w_all > 0.0
+                n_live = jnp.sum(cont_live.astype(jnp.uint32))
+                cont_demand.append(n_live)
+                # Compaction + shuffle, scatter-free. Key layout (u32): live
+                # rows get (inverted weight bucket) << 23 | hash(row) — hash
+                # order decorrelates the ray->crystal pairing the reference's
+                # Feistel shuffle exists for (trace_backend.hpp:334-349);
+                # dead rows key to 0xFFFFFFFF.
+                #
+                # Fast path (no overflow): block-local sort by that key +
+                # the Pallas block scatter (accum.compact_by_key) — global
+                # lax.sort is strongly superlinear past ~4 M rows, and the
+                # continuation carries 6-7 payload columns, so the old
+                # one-global-sort formulation dominated MS scenes. Block-
+                # local ordering shuffles within 4096-row blocks (pools are
+                # resampled every batch, so block-local decorrelation
+                # suffices). Slow path (lax.cond, rare): continuations
+                # overflow `cap` — the exact global sort keeps the
+                # energy-least-first truncation guarantee (lowest-weight
+                # rows dropped, accounted in dropped_cont_weight).
                 n_rows = cont_w_all.shape[0]
                 wq = jnp.clip(
                     jnp.floor(
@@ -730,51 +735,52 @@ class Engine:
                     ^ (layer_seed ^ rng.NONCE_SHUFFLE)
                 )
                 key = jnp.where(
-                    cont_mask,
-                    ((jnp.int32(255) - wq) << 23)
-                    | (row_hash & jnp.uint32(0x7FFFFF)).astype(jnp.int32),
-                    jnp.int32(0x7FFFFFF0),
+                    cont_live,
+                    ((jnp.uint32(255) - wq.astype(jnp.uint32)) << 23)
+                    | (row_hash & jnp.uint32(0x7FFFFF)),
+                    jnp.uint32(0xFFFFFFFF),
                 )
-                idx_flat_c = flat_idx
-                # The component-mask column rides the sort only when color
-                # classes exist (one less payload column otherwise).
-                mask_ops = (
-                    (exit_mask.reshape(-1).astype(jnp.int32),)
-                    if n_classes else ()
+                mask_cols = (
+                    [exit_mask.reshape(-1)] if n_classes else []
                 )
-                sorted_ops = jax.lax.sort(
-                    (key, cont_w_all, idx_flat_c) + mask_ops
-                    + (flat_dx, flat_dy, flat_dz),
-                    num_keys=1,
-                )
+                cols = [cont_w_all, flat_idx] + mask_cols + [
+                    flat_dx, flat_dy, flat_dz,
+                ]
+                eff_cap = min(cap, n_rows)
+
+                def fast(_):
+                    outs, _n = accum_mod.compact_by_key(key, cols, eff_cap)
+                    return outs[1:]
+
+                def slow(_):
+                    sorted_ops = jax.lax.sort(
+                        tuple([key] + cols), num_keys=1
+                    )
+                    return tuple(x[:eff_cap] for x in sorted_ops[1:])
+
+                picked = jax.lax.cond(n_live <= jnp.uint32(eff_cap), fast, slow, 0)
                 if n_classes:
-                    (_, s_w, s_idx, s_mask, s_dx, s_dy, s_dz) = sorted_ops
+                    (s_w, s_idx, s_mask, s_dx, s_dy, s_dz) = picked
                 else:
-                    (_, s_w, s_idx, s_dx, s_dy, s_dz) = sorted_ops
-                    s_mask = jnp.zeros_like(s_idx, jnp.int32)
-                n_flat = cont_w_all.shape[0]
-                if n_flat >= cap:
-                    sel_w = s_w[:cap]
-                    c_dx, c_dy, c_dz = s_dx[:cap], s_dy[:cap], s_dz[:cap]
-                    cont_idx_raw = s_idx[:cap]
-                    cont_mask_raw = s_mask[:cap].astype(jnp.uint32)
-                else:
-                    pad = cap - n_flat
-                    sel_w = jnp.pad(s_w, (0, pad))
-                    c_dx = jnp.pad(s_dx, (0, pad))
-                    c_dy = jnp.pad(s_dy, (0, pad))
-                    c_dz = jnp.pad(s_dz, (0, pad))
-                    cont_idx_raw = jnp.pad(s_idx, (0, pad))
-                    cont_mask_raw = jnp.pad(s_mask, (0, pad)).astype(jnp.uint32)
-                live = sel_w > 0.0
-                cont_wv = jnp.where(live, sel_w, 0.0)
+                    (s_w, s_idx, s_dx, s_dy, s_dz) = picked
+                    s_mask = jnp.zeros_like(s_idx, jnp.uint32)
+                if eff_cap < cap:
+                    pad = cap - eff_cap
+                    s_w = jnp.pad(s_w, (0, pad))
+                    s_dx = jnp.pad(s_dx, (0, pad))
+                    s_dy = jnp.pad(s_dy, (0, pad))
+                    s_dz = jnp.pad(s_dz, (0, pad))
+                    s_idx = jnp.pad(s_idx, (0, pad))
+                    s_mask = jnp.pad(s_mask, (0, pad))
+                live = s_w > 0.0
+                cont_wv = jnp.where(live, s_w, 0.0)
                 # Empty lanes keep pool entry 0 — any real pool wavelength is
                 # benign (finite IOR); weights are zero anyway.
-                cont_idx = jnp.where(live, cont_idx_raw, 0).astype(jnp.uint32)
-                cont_mask = jnp.where(live, cont_mask_raw, 0)
-                c_dx = jnp.where(live, c_dx, 0.0)
-                c_dy = jnp.where(live, c_dy, 0.0)
-                c_dz = jnp.where(live, c_dz, 0.0)
+                cont_idx = jnp.where(live, s_idx, 0).astype(jnp.uint32)
+                cont_mask = jnp.where(live, s_mask.astype(jnp.uint32), 0)
+                c_dx = jnp.where(live, s_dx, 0.0)
+                c_dy = jnp.where(live, s_dy, 0.0)
+                c_dz = jnp.where(live, s_dz, 0.0)
                 dropped_w = dropped_w + jnp.sum(cont_w_all) - jnp.sum(cont_wv)
                 next_ray_idx = batch_base + jnp.uint32(B * (li + 1)) + jnp.arange(cap, dtype=jnp.uint32)
                 cont = ((c_dx, c_dy, c_dz), cont_wv, cont_idx, next_ray_idx, cont_mask)
