@@ -51,6 +51,19 @@ _NEG = -3.0e38  # effectively -inf for f32 cummax
 BLOCK = 4096
 
 
+def _varying_zeros(shape, dtype, tag):
+    """Zeros carrying `tag`'s varying-manual-axes type.
+
+    Under shard_map, a fori_loop whose init carry is a replicated constant
+    but whose body writes shard-varying data fails to trace ("varying manual
+    axes do not match", MULTICHIP_r01). ``jax.lax.pcast`` would need the
+    mesh axis name, which this library-level code does not know; adding a
+    zero derived from an already-varying integer scalar transfers the vma
+    type without one. tag: a finite integer scalar derived from the data.
+    """
+    return jnp.zeros(shape, dtype) + (tag * 0).astype(dtype)
+
+
 def scatter_accumulate(acc, pix, vals):
     """Baseline: XLA scatter-add. pix < 0 or >= P rows are dropped."""
     P = acc.shape[0]
@@ -177,7 +190,7 @@ def _marker_extract(key2, seg_cols, P: int, block: int = BLOCK):
             axis=-1,
         )
     vals = jnp.stack(s[1:], axis=-1)                      # [G, block, C]
-    dense = jnp.zeros((P + block, vals.shape[-1]), vals.dtype)
+    dense = _varying_zeros((P + block, vals.shape[-1]), vals.dtype, m_cnt[0])
 
     def body(g, d):
         return jax.lax.dynamic_update_slice(d, vals[g], (start[g], 0))
@@ -232,7 +245,7 @@ def compact_rows(valid, cols, keep: int, block: int = BLOCK):
             jnp.sum(cnt),
         )
     outs = tuple(
-        jnp.zeros((G * block + block,), c.dtype) for c in cols
+        _varying_zeros((G * block + block,), c.dtype, cnt[0]) for c in cols
     )
 
     def body(g, outs):
@@ -274,7 +287,9 @@ def compact_by_key(key, cols, keep: int, block: int = BLOCK):
     if pallas_ops.available():
         outs = [pallas_ops.scatter_blocks(x, start, keep, block) for x in s]
         return tuple(outs), jnp.sum(cnt)
-    dense = tuple(jnp.zeros((G * block + block,), x.dtype) for x in s)
+    dense = tuple(
+        _varying_zeros((G * block + block,), x.dtype, cnt[0]) for x in s
+    )
 
     def body(g, outs):
         return tuple(

@@ -51,7 +51,15 @@ INTERPRET = False
 
 
 def available() -> bool:
-    """True when the Pallas TPU lowering is usable on this backend."""
+    """True when the Pallas TPU lowering is usable on this backend.
+
+    IHT_PALLAS=0 is the runtime kill switch: a Mosaic lowering regression
+    degrades to the pure-XLA fold instead of crashing the renderer.
+    """
+    from ice_halo_sim_tpu.utils import env_knobs
+
+    if str(env_knobs.get("IHT_PALLAS", "1")).lower() in ("0", "off"):
+        return False
     return INTERPRET or jax.default_backend() in ("tpu", "axon")
 
 

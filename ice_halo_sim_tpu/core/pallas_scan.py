@@ -39,6 +39,10 @@ INTERPRET = False
 
 
 def available() -> bool:
+    from ice_halo_sim_tpu.utils import env_knobs
+
+    if str(env_knobs.get("IHT_PALLAS", "1")).lower() in ("0", "off"):
+        return False
     return INTERPRET or jax.default_backend() in ("tpu", "axon")
 
 
@@ -174,10 +178,14 @@ def _scan_kernel(sk_ref, sw_ref, tbl_ref, c0_ref, c1_ref, c2_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, pix.shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, pix.shape, 0)
     prev_flat = jnp.where(lane == 0, prev_last, prev_pix)
-    # First flat element continues the previous BLOCK's last pixel.
-    carry_key = jnp.max(pltpu.bitcast(carry_ref[3:4, :], jnp.uint32))
+    # First flat element continues the previous BLOCK's last pixel. The
+    # carry row is lane-broadcast, so use it as a [1, 128] row and let
+    # broadcasting pick it up — Mosaic has no unsigned reductions
+    # (jnp.max over uint32 raised NotImplementedError at lowering).
+    carry_key = pltpu.bitcast(carry_ref[3:4, :], jnp.uint32)
     prev_flat = jnp.where(
-        (lane == 0) & (row == 0), carry_key, prev_flat
+        (lane == 0) & (row == 0), jnp.broadcast_to(carry_key, pix.shape),
+        prev_flat,
     )
     flags = (pix != prev_flat).astype(jnp.float32)
 

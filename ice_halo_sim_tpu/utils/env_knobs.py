@@ -20,6 +20,9 @@ Knobs (all optional; unset means "use the code default"):
                      the accumulation sort packs the pool index into its key).
   IHT_COMPACT        "0"/"off" disables the calibrated dead-row compaction
                      prepass before the accumulation fold.
+  IHT_PALLAS         "0"/"off" disables ALL Pallas TPU kernels (the fold
+                     falls back to the pure-XLA formulation) — the runtime
+                     escape hatch for a Mosaic lowering regression.
 """
 
 from __future__ import annotations
@@ -58,6 +61,13 @@ KNOBS: Dict[str, Knob] = {
             "IHT_COMPACT",
             "disable ('0'/'off') the calibrated dead-row compaction prepass "
             "before the accumulation fold",
+            str,
+        ),
+        Knob(
+            "IHT_PALLAS",
+            "disable ('0'/'off') all Pallas TPU kernels; the renderer "
+            "degrades to the pure-XLA fold instead of crashing on a "
+            "Mosaic lowering regression",
             str,
         ),
         Knob(

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""On-TPU smoke gate: run before committing anything that touches core/.
+
+Round 1 shipped a Pallas kernel that passed every CPU/interpreter test but
+crashed in Mosaic LOWERING on the real chip (BENCH_r01: "Reductions over
+unsigned integers not implemented") — a class of bug interpreter tests
+cannot catch by construction. This script compiles and executes, on the
+real TPU, in a few seconds:
+
+  1. each Pallas kernel standalone (pallas_ops.scatter_blocks VMEM + HBM
+     variants, pallas_scan.fused_scan_call), checked against its XLA
+     fallback (IHT_PALLAS=0 re-run of the same jitted fn);
+  2. one tiny-batch Engine._step_impl (the full fused trace program);
+  3. a fold round-trip at production-like row counts.
+
+Exit code 0 = safe to commit. Mirrors the reference's pre-commit perf/parity
+discipline (doc/performance-testing.md:76-170).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[tpu_smoke] {msg}", flush=True)
+
+
+def check_scatter_blocks():
+    import jax
+    import jax.numpy as jnp
+
+    from ice_halo_sim_tpu.core import pallas_ops
+
+    rng = np.random.default_rng(0)
+    for out_len, G, block in [(131072, 24, 4096), (4 << 20, 48, 4096)]:
+        vals = jnp.asarray(
+            rng.standard_normal((G, block)).astype(np.float32)
+        )
+        cnt = rng.integers(0, block, G).astype(np.int32)
+        start = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int32)
+        start_j = jnp.asarray(start)
+        got = np.asarray(
+            jax.jit(pallas_ops.scatter_blocks, static_argnums=(2, 3))(
+                vals, start_j, out_len, block
+            )
+        )
+        want = np.zeros(out_len + block, np.float32)
+        for g in range(G):
+            if start[g] < out_len:
+                want[start[g] : start[g] + block] = np.asarray(vals[g])
+        np.testing.assert_allclose(got, want[:out_len], rtol=0, atol=0)
+        log(f"scatter_blocks out_len={out_len}: OK")
+
+
+def check_fused_scan():
+    import jax
+    import jax.numpy as jnp
+
+    from ice_halo_sim_tpu.core import accum
+
+    rng = np.random.default_rng(1)
+    P, K, N = 131072, 8, 300000
+    pix = rng.integers(0, P, N).astype(np.int32)
+    w = rng.random(N).astype(np.float32)
+    wl = rng.integers(0, K, N).astype(np.uint32)
+    tbl = rng.random((K, 3)).astype(np.float32)
+
+    def basis_fn(idx):
+        return jnp.asarray(tbl)[idx]
+
+    acc0 = jnp.zeros((P, 3), jnp.float32)
+    f = jax.jit(
+        lambda a, p, ww, wi: accum.fold_spectral(a, p, ww, wi, K, basis_fn)
+    )
+    got = np.asarray(f(acc0, jnp.asarray(pix), jnp.asarray(w), jnp.asarray(wl)))
+    want = np.zeros((P, 3), np.float64)
+    np.add.at(want, pix, tbl[wl] * w[:, None])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+    log("fold_spectral (pallas_scan + scatter path): OK")
+
+
+def check_step_impl():
+    import __graft_entry__ as ge
+
+    engine = ge._bench_engine(batch_size=8192)
+    engine.run(n_batches=2)
+    xyz = engine.raw_xyz(0)
+    assert np.isfinite(xyz).all(), "step produced non-finite accumulators"
+    assert xyz.sum() > 0, "step produced an empty image"
+    log("Engine._step_impl tiny batch: OK")
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/iht_jax_cache")
+    )
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        log(f"backend is {backend!r}, not TPU — smoke gate is vacuous; FAIL")
+        return 2
+    t0 = time.time()
+    check_scatter_blocks()
+    check_fused_scan()
+    check_step_impl()
+    log(f"ALL OK in {time.time() - t0:.1f}s on {jax.devices()[0]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
