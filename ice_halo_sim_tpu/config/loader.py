@@ -14,6 +14,8 @@ from __future__ import annotations
 import json
 from typing import Any, Optional
 
+from ice_halo_sim_tpu.utils.log import get_logger
+
 from ice_halo_sim_tpu.config.schema import (
     DIST_TYPE_NAMES,
     LENS_TYPE_NAMES,
@@ -38,6 +40,7 @@ from ice_halo_sim_tpu.config.schema import (
     PrismShape,
     ProjectConfig,
     PyramidShape,
+    prepare_sync_groups,
     RaypathColorConfig,
     RaypathFilter,
     RenderConfig,
@@ -104,6 +107,23 @@ def _parse_face_distance(shape: dict) -> tuple:
     return tuple(fd)
 
 
+def _parse_sync_group(shape: dict, scalar_keys: tuple) -> tuple:
+    """Optional "sync_group" sub-map: scalar keys name shape scalars with the
+    same strings as their distributions; "face_distance" is a 6-int array
+    (crystal_config.cpp:172-201). Absent = every scalar independent."""
+    n = len(scalar_keys) + 6
+    groups = [0] * n
+    sg = shape.get("sync_group")
+    if not isinstance(sg, dict):
+        return tuple(groups)
+    for i, key in enumerate(scalar_keys):
+        if key in sg:
+            groups[i] = int(sg[key])
+    for i, elem in enumerate(sg.get("face_distance", ())[:6]):
+        groups[len(scalar_keys) + i] = int(elem)
+    return tuple(groups)
+
+
 def parse_crystal(obj: dict) -> CrystalConfig:
     cid = int(obj["id"])
     ctype = obj["type"]
@@ -112,6 +132,7 @@ def parse_crystal(obj: dict) -> CrystalConfig:
         shape = PrismShape(
             height=parse_distribution(shape_obj["height"]),
             face_distance=_parse_face_distance(shape_obj),
+            sync_group=_parse_sync_group(shape_obj, ("height",)),
         )
     elif ctype == "pyramid":
         # Wedge angle: explicit wedge_angle wins, else Miller indices
@@ -133,9 +154,19 @@ def parse_crystal(obj: dict) -> CrystalConfig:
             wedge_angle_u=wedge(True),
             wedge_angle_l=wedge(False),
             face_distance=_parse_face_distance(shape_obj),
+            sync_group=_parse_sync_group(
+                shape_obj, ("upper_h", "prism_h", "lower_h")
+            ),
         )
     else:
         raise ValueError(f"unknown crystal type {ctype!r}")
+    shape, sync_warnings = prepare_sync_groups(shape)
+    for group, slot, leader in sync_warnings:
+        get_logger("config").warning(
+            "crystal %d sync group %d: member slot %d declared a different "
+            "distribution than its leader slot %d; the leader's is used",
+            cid, group, slot, leader,
+        )
     return CrystalConfig(id=cid, shape=shape, axis=parse_axis(obj.get("axis")))
 
 

@@ -149,6 +149,88 @@ class PyramidShape:
 CrystalShape = Union[PrismShape, PyramidShape]
 
 
+# Sync-group slot layouts (our per-type tuples carry only the slots the type
+# actually has, so the reference's "zero inapplicable slots" canonicalization
+# rule is structural here). Tuple order mirrors the reference's ShapeScalar
+# draw order scoped per type (crystal_config.hpp:31-43): prism
+# [height, fd0..5]; pyramid [upper_h, prism_h, lower_h, fd0..5].
+_PRISM_SYNC_FIELDS = ("height",) + tuple(f"face_distance[{i}]" for i in range(6))
+_PYRAMID_SYNC_FIELDS = (
+    "upper_h", "prism_h", "lower_h",
+) + tuple(f"face_distance[{i}]" for i in range(6))
+
+
+def canonicalize_sync_groups(groups: tuple) -> tuple:
+    """Canonical form of a sync-group tuple (crystal_config.cpp:45-96):
+    singleton groups become 0 (a lone member IS independence), surviving
+    groups renumber 1..N by first appearance in slot order."""
+    groups = list(groups)
+    n = len(groups)
+    for i in range(n):
+        if groups[i] == 0:
+            continue
+        if sum(1 for g in groups if g == groups[i]) < 2:
+            groups[i] = 0
+    mapping: dict = {}
+    for i in range(n):
+        if groups[i] == 0:
+            continue
+        if groups[i] not in mapping:
+            mapping[groups[i]] = len(mapping) + 1
+        groups[i] = mapping[groups[i]]
+    return tuple(groups)
+
+
+def _shape_slot_dists(shape) -> list:
+    if isinstance(shape, PrismShape):
+        return [shape.height, *shape.face_distance]
+    return [shape.upper_h, shape.prism_h, shape.lower_h, *shape.face_distance]
+
+
+def _shape_with_slot_dists(shape, dists, groups):
+    if isinstance(shape, PrismShape):
+        return dataclasses.replace(
+            shape, height=dists[0], face_distance=tuple(dists[1:7]),
+            sync_group=tuple(groups),
+        )
+    return dataclasses.replace(
+        shape, upper_h=dists[0], prism_h=dists[1], lower_h=dists[2],
+        face_distance=tuple(dists[3:9]), sync_group=tuple(groups),
+    )
+
+
+def sync_group_leaders(groups: tuple) -> tuple:
+    """Per slot: the index of the slot whose RNG draw this slot consumes —
+    its own index when independent, the group's lowest member index (the
+    leader, drawn first) otherwise (crystal_config.cpp:100-128)."""
+    leaders = []
+    for i, g in enumerate(groups):
+        if g == 0:
+            leaders.append(i)
+        else:
+            leaders.append(min(k for k, gg in enumerate(groups) if gg == g))
+    return tuple(leaders)
+
+
+def prepare_sync_groups(shape: CrystalShape):
+    """Canonicalize + leader-normalize a shape's sync groups
+    (crystal_config.hpp:184-198; both passes, one entry point).
+
+    Returns (new_shape, warnings): warnings lists (group, slot, leader_slot)
+    for members whose declared distribution differed from their leader's
+    and was overwritten (the reference LOG_WARNINGs, never rejects)."""
+    groups = canonicalize_sync_groups(shape.sync_group)
+    dists = _shape_slot_dists(shape)
+    leaders = sync_group_leaders(groups)
+    warnings = []
+    for i, leader in enumerate(leaders):
+        if leader != i and dists[i] != dists[leader]:
+            warnings.append((groups[i], i, leader))
+        if leader != i:
+            dists[i] = dists[leader]
+    return _shape_with_slot_dists(shape, dists, groups), warnings
+
+
 @dataclass(frozen=True)
 class CrystalConfig:
     id: int

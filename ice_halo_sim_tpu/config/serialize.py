@@ -82,6 +82,19 @@ def _face_distance_json(fd: tuple) -> list:
     return [dist_to_json(d) for d in fd]
 
 
+def _sync_group_json(groups: tuple, scalar_keys: tuple) -> dict:
+    """"sync_group" sub-map, written only when something is synced so
+    existing configs stay byte-identical (crystal_config.cpp:204-227)."""
+    sg: dict = {}
+    for i, key in enumerate(scalar_keys):
+        if groups[i] != 0:
+            sg[key] = groups[i]
+    faces = list(groups[len(scalar_keys):])
+    if any(faces):
+        sg["face_distance"] = faces
+    return sg
+
+
 def crystal_to_json(c) -> dict:
     axis = {
         "zenith": _zenith_to_json(c.axis.latitude),
@@ -93,6 +106,7 @@ def crystal_to_json(c) -> dict:
             "height": dist_to_json(c.shape.height),
             "face_distance": _face_distance_json(c.shape.face_distance),
         }
+        sg = _sync_group_json(c.shape.sync_group, ("height",))
         ctype = "prism"
     elif isinstance(c.shape, PyramidShape):
         shape = {
@@ -103,9 +117,14 @@ def crystal_to_json(c) -> dict:
             "lower_wedge_angle": c.shape.wedge_angle_l,
             "face_distance": _face_distance_json(c.shape.face_distance),
         }
+        sg = _sync_group_json(
+            c.shape.sync_group, ("upper_h", "prism_h", "lower_h")
+        )
         ctype = "pyramid"
     else:
         raise ValueError(f"unsupported shape {type(c.shape)}")
+    if sg:
+        shape["sync_group"] = sg
     return {"id": c.id, "type": ctype, "shape": shape, "axis": axis}
 
 

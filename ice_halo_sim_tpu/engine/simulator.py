@@ -40,6 +40,7 @@ from ice_halo_sim_tpu.config.schema import (
     ProjectConfig,
     PrismShape,
     PyramidShape,
+    sync_group_leaders,
 )
 from ice_halo_sim_tpu.core import (
     color,
@@ -285,16 +286,26 @@ class Engine:
                 det_shape.append(shape.is_deterministic())
                 if shape.is_deterministic():
                     det_crystals += 1
+                # Shape-scalar sync groups: a synced member consumes its
+                # group leader's RNG slot, so the group shares one raw draw
+                # per crystal instance (crystal_config.hpp:184-198; heights
+                # fold with abs at use, face distances stay signed). The
+                # loader leader-normalized the distributions already.
+                leaders = sync_group_leaders(shape.sync_group)
                 if isinstance(shape, PrismShape):
                     shape_kinds.append("prism")
+                    slot_of = [0] + [2 + 2 * i for i in range(6)]
                     shape_params.append(
                         {
                             "h": _dist_params(shape.height),
                             "d": [_dist_params(x) for x in shape.face_distance],
+                            "h_slot": slot_of[leaders[0]],
+                            "d_slots": [slot_of[leaders[1 + i]] for i in range(6)],
                         }
                     )
                 elif isinstance(shape, PyramidShape):
                     shape_kinds.append("pyramid")
+                    slot_of = [0, 2, 4] + [6 + 2 * i for i in range(6)]
                     shape_params.append(
                         {
                             "u": _dist_params(shape.upper_h),
@@ -303,6 +314,10 @@ class Engine:
                             "au": float(shape.wedge_angle_u),
                             "al": float(shape.wedge_angle_l),
                             "d": [_dist_params(x) for x in shape.face_distance],
+                            "u_slot": slot_of[leaders[0]],
+                            "p_slot": slot_of[leaders[1]],
+                            "l_slot": slot_of[leaders[2]],
+                            "d_slots": [slot_of[leaders[3 + i]] for i in range(6)],
                         }
                     )
                 else:
@@ -433,20 +448,20 @@ class Engine:
                      + jnp.arange(k, dtype=jnp.uint32))
             sp = plan.shape_param_arrays[s]
             if kind == "prism":
-                h = jnp.abs(_sample_shape_scalars(seed, k_idx, 0, sp["h"]))
+                h = jnp.abs(_sample_shape_scalars(seed, k_idx, sp["h_slot"], sp["h"]))
                 dists = jnp.stack(
-                    [_sample_shape_scalars(seed, k_idx, 2 + 2 * i, sp["d"][i]) for i in range(6)],
+                    [_sample_shape_scalars(seed, k_idx, sp["d_slots"][i], sp["d"][i]) for i in range(6)],
                     axis=-1,
                 )
                 g = geometry.prism_geom_batch(h, dists)
             else:
                 from ice_halo_sim_tpu.core import pyramid as pyramid_mod
 
-                h1 = jnp.abs(_sample_shape_scalars(seed, k_idx, 0, sp["u"]))
-                h2 = jnp.abs(_sample_shape_scalars(seed, k_idx, 2, sp["p"]))
-                h3 = jnp.abs(_sample_shape_scalars(seed, k_idx, 4, sp["l"]))
+                h1 = jnp.abs(_sample_shape_scalars(seed, k_idx, sp["u_slot"], sp["u"]))
+                h2 = jnp.abs(_sample_shape_scalars(seed, k_idx, sp["p_slot"], sp["p"]))
+                h3 = jnp.abs(_sample_shape_scalars(seed, k_idx, sp["l_slot"], sp["l"]))
                 dists = jnp.stack(
-                    [_sample_shape_scalars(seed, k_idx, 6 + 2 * i, sp["d"][i]) for i in range(6)],
+                    [_sample_shape_scalars(seed, k_idx, sp["d_slots"][i], sp["d"][i]) for i in range(6)],
                     axis=-1,
                 )
                 g = pyramid_mod.pyramid_geom_batch(h1, h2, h3, sp["au"], sp["al"], dists)
