@@ -173,6 +173,26 @@ def _marker_extract(key2, seg_cols, P: int, block: int = BLOCK):
     M = key2.shape[0]
     G = M // block
     assert G * block == M, "caller pads M to a block multiple"
+    key2 = key2.astype(jnp.uint32)  # sort_accumulate passes int32 key2
+    if pallas_ops.available():
+        # Markers are already in global pixel order after the fold's sort,
+        # so compacting them to each block's front needs only the STABLE
+        # butterfly pack (12 routing stages), not a 78-stage block sort.
+        _pk, pcols, m_cnt = pallas_ops.pack_valid_blocks(
+            key2, list(seg_cols), P, block
+        )
+        start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(m_cnt)[:-1]]
+        )
+        return jnp.stack(
+            [
+                pallas_ops.scatter_blocks(
+                    c.reshape(G, block), start, P, block
+                )
+                for c in pcols
+            ],
+            axis=-1,
+        )
     k2 = key2.reshape(G, block)
     is_m = k2 < P
     m_cnt = jnp.sum(is_m.astype(jnp.int32), axis=1)
@@ -184,11 +204,6 @@ def _marker_extract(key2, seg_cols, P: int, block: int = BLOCK):
         dimension=1,
         num_keys=1,
     )
-    if pallas_ops.available():
-        return jnp.stack(
-            [pallas_ops.scatter_blocks(c, start, P, block) for c in s[1:]],
-            axis=-1,
-        )
     vals = jnp.stack(s[1:], axis=-1)                      # [G, block, C]
     dense = _varying_zeros((P + block, vals.shape[-1]), vals.dtype, m_cnt[0])
 
@@ -299,6 +314,40 @@ def compact_by_key(key, cols, keep: int, block: int = BLOCK):
 
     dense = jax.lax.fori_loop(0, G, body, dense)
     return tuple(o[:keep] for o in dense), jnp.sum(cnt)
+
+
+def compact_valid(key, cols, keep: int, block: int = BLOCK):
+    """Compact rows with key != 0xFFFFFFFF into a static-length prefix,
+    ORDER-AGNOSTIC (row order within the kept prefix is block-stable
+    original order, NOT key order). The fold prepass's contract: its
+    output feeds the fold's global sort, so ordering is irrelevant —
+    which lets the butterfly-packing Pallas kernel (12 routing stages)
+    replace compact_by_key's 78-stage bitonic block sort.
+
+    Returns ((key', cols'...), n_valid) like compact_by_key; rows past
+    the last valid row are (key 0xFFFFFFFF, cols 0)."""
+    if not pallas_ops.available():
+        return compact_by_key(key, cols, keep, block)
+    N = key.shape[0]
+    G = -(-N // block)
+    pad = G * block - N
+    if pad:
+        key = jnp.concatenate([key, jnp.full(pad, 0xFFFFFFFF, key.dtype)])
+        cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in cols]
+    pk, pcols, counts = pallas_ops.pack_valid_blocks(
+        key, list(cols), 0xFFFFFFFF, block
+    )
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    outs = [
+        pallas_ops.scatter_blocks(x.reshape(G, block), start, keep, block)
+        for x in (pk, *pcols)
+    ]
+    # scatter_blocks zero-fills past the last write; zero keys would alias
+    # pixel 0 contributions — but their weights are zero (pack masked
+    # them), so they fold to nothing, same contract as compact_by_key.
+    return tuple(outs), jnp.sum(counts)
 
 
 def spectral_key_bits(n_pixels: int, k_pool: int) -> bool:

@@ -201,6 +201,158 @@ def _scatter_hbm(vals2, start, out_rows: int, br: int, limit: int):
     )(start, zeros, vals2)
 
 
+def _flat_roll_left(x, s: int, R: int):
+    """Flat row-major LEFT shift by static s (a ROTATION — the caller masks
+    wrapped positions): res[r, l] = x[flat + s]."""
+    if s >= LANES:
+        m = s // LANES
+        assert s % LANES == 0
+        return pltpu.roll(x, R - m, 0)
+    rolled = pltpu.roll(x, LANES - s, 1)          # x[r, (l+s) % 128]
+    nxt = pltpu.roll(x, R - 1, 0)                 # x[(r+1) % R, l]
+    b = pltpu.roll(nxt, LANES - s, 1)             # x[r+1, (l+s) % 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < LANES - s, rolled, b)
+
+
+def _flat_prefix_sum_excl(v, R: int):
+    """Exclusive prefix sum of [R, 128] int32 in flat row-major order.
+    Returns (excl, total) with total broadcast [R, 128]."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    inc = v
+    bit = 1
+    while bit < LANES:
+        sh = pltpu.roll(inc, bit, 1)
+        inc = inc + jnp.where(lane >= bit, sh, 0)
+        bit <<= 1
+    row_tot = jnp.broadcast_to(inc[:, LANES - 1 : LANES], v.shape)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    rp = jnp.where(row >= 1, pltpu.roll(row_tot, 1, 0), 0)
+    bit = 1
+    while bit < R:
+        sh = pltpu.roll(rp, bit, 0)
+        rp = rp + jnp.where(row >= bit, sh, 0)
+        bit <<= 1
+    incl_flat = rp + inc
+    # The block total as a SCALAR (prefix sums are nondecreasing, so the
+    # max IS the last element). Mosaic rejects [1,1]->[R,128] broadcasts
+    # ("Broadcast in both sublanes and lanes", caught by the TPU smoke
+    # gate); scalar splats are fine, and signed-int reductions lower.
+    total = jnp.max(incl_flat)
+    return incl_flat - v, total
+
+
+def _pack_one_block(key, cols, thresh: int, R: int, nbits: int):
+    """Stable compaction of one [R, 128] block in VMEM: rows with
+    u32 key < thresh move to the flat front, original order preserved.
+
+    Butterfly routing: each valid element's displacement d = index - rank
+    (the count of invalid elements before it) is non-decreasing across
+    valid elements, so moving elements left by 2^j for each set bit of d
+    (LSB first) is collision-free (verified exhaustively for n=16 and
+    randomized for n=64 against a numpy oracle). 12 stages for a
+    4096-element block vs the 78 compare-exchange stages of the bitonic
+    block sort this replaces — the compaction needs no key ORDER at all.
+    """
+    i32 = jnp.int32
+    flip = jnp.int32(-0x80000000)
+    keyi = pltpu.bitcast(key, i32) ^ flip          # u32 order -> i32 order
+    valid = keyi < (jnp.int32((thresh & 0xFFFFFFFF) - 0x80000000))
+    flat = (
+        jax.lax.broadcasted_iota(i32, key.shape, 0) * LANES
+        + jax.lax.broadcasted_iota(i32, key.shape, 1)
+    )
+    rank, total = _flat_prefix_sum_excl(valid.astype(i32), R)
+    d = jnp.where(valid, flat - rank, -1)
+
+    arrs = [key] + list(cols)
+    for j in range(nbits):
+        s = 1 << j
+        # Masks ride as int32: Mosaic's dynamic rotate rejects i1 vectors
+        # ("Rotate with non-32-bit data", caught by the TPU smoke gate).
+        move = jnp.where((d >= 0) & (((d >> j) & 1) == 1), i32(1), i32(0))
+        inc = (
+            (_flat_roll_left(move, s, R) != 0) & (flat < R * LANES - s)
+        )
+        d_in = _flat_roll_left(d, s, R) - s
+        vacated = (move != 0) & ~inc
+        d = jnp.where(inc, d_in, jnp.where(vacated, -1, d))
+        arrs = [
+            jnp.where(inc, _flat_roll_left(a, s, R), a) for a in arrs
+        ]
+
+    keep = flat < total
+    out_key = jnp.where(keep, arrs[0], jnp.uint32(0xFFFFFFFF))
+    out_cols = [
+        jnp.where(keep, a, jnp.zeros_like(a)) for a in arrs[1:]
+    ]
+    return out_key, out_cols, total
+
+
+def pack_valid_blocks(key, cols, thresh: int, block: int):
+    """Per-block stable compaction: rows with key < thresh (u32 compare)
+    move to each block's flat front in original order; the tail is masked
+    to (key=0xFFFFFFFF, cols=0). Returns (packed_key [N], packed_cols,
+    counts [G] int32).
+
+    key: [N] uint32, N % block == 0; cols: [N] 32-bit arrays.
+    The TPU-native replacement for a block SORT when only validity
+    partitioning is needed (the fold prepass and marker extraction).
+    """
+    N = key.shape[0]
+    G = N // block
+    assert G * block == N, (N, block)
+    assert block % (SUP * LANES) == 0, block
+    R = block // LANES
+    nbits = int(np.log2(block))
+    assert 1 << nbits == block, block
+
+    def kernel(key_ref, *rest):
+        cols_refs = rest[: len(cols)]
+        okey_ref = rest[len(cols)]
+        ocols_refs = rest[len(cols) + 1 : 2 * len(cols) + 1]
+        cnt_ref = rest[2 * len(cols) + 1]
+        for k in range(SUP):
+            sl = slice(k * R, (k + 1) * R)
+            pk, pc, tot = _pack_one_block(
+                key_ref[sl, :], [c[sl, :] for c in cols_refs],
+                thresh, R, nbits,
+            )
+            okey_ref[sl, :] = pk
+            for ref, v in zip(ocols_refs, pc):
+                ref[sl, :] = v
+            cnt_ref[k : k + 1, :] = jnp.full((1, LANES), tot, jnp.int32)
+
+    Gp = -(-G // SUP) * SUP
+    if Gp != G:
+        pad = (Gp - G) * block
+        key = jnp.concatenate([key, jnp.full(pad, 0xFFFFFFFF, key.dtype)])
+        cols = [jnp.concatenate([c, jnp.zeros(pad, c.dtype)]) for c in cols]
+    key2 = key.reshape(Gp * R, LANES)
+    cols2 = [c.reshape(Gp * R, LANES) for c in cols]
+
+    spec = pl.BlockSpec((SUP * R, LANES), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec((SUP, LANES), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Gp // SUP,),
+        in_specs=[spec] * (1 + len(cols)),
+        out_specs=[spec] * (1 + len(cols)) + [cnt_spec],
+        out_shape=(
+            [jax.ShapeDtypeStruct((Gp * R, LANES), key.dtype)]
+            + [jax.ShapeDtypeStruct((Gp * R, LANES), c.dtype) for c in cols]
+            + [jax.ShapeDtypeStruct((Gp, LANES), jnp.int32)]
+        ),
+        interpret=INTERPRET,
+    )(key2, *cols2)
+    pk = outs[0].reshape(-1)[:N]
+    pcols = [o.reshape(-1)[:N] for o in outs[1 : 1 + len(cols)]]
+    counts = outs[-1][:G, 0]
+    return pk, pcols, counts
+
+
 def scatter_blocks(vals, start, out_len: int, block: int):
     """Forward-overwrite block scatter: out[start[g] : start[g] + block] =
     vals[g] applied in ascending g, on a zero-initialized out[out_len].

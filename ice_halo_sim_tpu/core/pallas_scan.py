@@ -159,12 +159,14 @@ def _scan_kernel(sk_ref, sw_ref, tbl_ref, c0_ref, c1_ref, c2_ref,
         )
 
     wl = (sk >> 1) & jnp.uint32(K - 1)
-    # basis channels via K-way select from the (tiny) table.
+    # Basis channels via K-way masked accumulation from the (tiny) table:
+    # one compare + three FMAs per table entry (4K ops/element — the
+    # two-select formulation cost 6K and dominated the kernel at K=64).
     c = [jnp.zeros(sk.shape, jnp.float32) for _ in range(3)]
     for k in range(K):
-        m = wl == jnp.uint32(k)
+        m = (wl == jnp.uint32(k)).astype(jnp.float32)
         for ch in range(3):
-            c[ch] = jnp.where(m, tbl_ref[k, ch], 0.0) + jnp.where(m, 0.0, c[ch])
+            c[ch] = c[ch] + m * tbl_ref[k, ch]
 
     vals = [ci * sw for ci in c]
 

@@ -521,7 +521,7 @@ class Engine:
             w0 = color.illuminant_spd_fast(self.illuminant, wl)
         return wl, w0, wl_idx
 
-    def _trace_batch_impl(self, batch_base, batch_counter):
+    def _trace_batch_impl(self, batch_base, batch_counter, n_active=None):
         """One full batch: sample -> trace all layers -> project.
 
         Returns (contribs, landed_add, dropped_w, seg_count) where contribs
@@ -529,6 +529,11 @@ class Engine:
         u32, mask [N_r] u32) SPECTRAL contribution rows — the XYZ/lane
         channels are expanded at fold time (accum.fold_spectral recomputes
         the CMF basis after its sort so only one f32 column rides it).
+
+        n_active: optional traced u32 — lanes >= n_active start with zero
+        weight (the exact-ray-budget tail batch; the reference traces
+        exactly the requested ray_num, server.cpp:1477-1495). Dead lanes
+        emit nothing, continue nothing, and count zero segments.
 
         The whole hot path is SoA (core/trace_soa.py): directions are
         component triples, per-slot arrays are [H, B] slot-major, so every
@@ -540,6 +545,8 @@ class Engine:
         seed0 = jnp.uint32(self.seed)
 
         wl, w0, wl_idx = self._wavelength_draw(ray_idx, batch_counter)
+        if n_active is not None:
+            w0 = jnp.where(lane < n_active, w0, 0.0)
         n_ior = optics.ice_refractive_index(wl)
 
         d_world = sampling.sample_sun_dirs_soa(
@@ -838,7 +845,7 @@ class Engine:
         return method
 
     def _step_impl(self, accum, batch_base, batch_counter, keep=None,
-                   plan_version: int = 0):
+                   plan_version: int = 0, n_active=None):
         """One batch, folded into the accumulators immediately.
 
         accum: tuple of per-render [H*W, C] XYZ(+lanes) + [R] landed
@@ -855,7 +862,7 @@ class Engine:
         cont_demand[L-1]) — the counts feed host-side calibration.
         """
         contribs, landed_add, dropped_w, seg_count, cont_demand = (
-            self._trace_batch_impl(batch_base, batch_counter)
+            self._trace_batch_impl(batch_base, batch_counter, n_active)
         )
         method = self._resolved_accum_method()
         n_classes = len(self.color_classes)
@@ -895,15 +902,16 @@ class Engine:
             if kr is None:
                 xyz_acc[r] = fold(xyz_acc[r])
             else:
-                # Slim compaction prepass: ONE block-local sort by the packed
-                # key (dead rows past everything) + the Pallas block scatter.
-                # The global fold sort then runs on keep + P rows instead of
-                # n_rows + P — lax.sort is strongly superlinear past the
-                # VMEM-locality knee (measured 4.3 ms at 3.7 M rows vs
-                # 19.8 ms at 7.5 M on v5e), so the short global sort pays
-                # for the (VMEM-local, cheap) block sort several times over.
+                # Slim compaction prepass: butterfly-pack live rows (order-
+                # agnostic — the fold's global sort follows) + the Pallas
+                # block scatter. The global fold sort then runs on keep + P
+                # rows instead of n_rows + P — lax.sort is strongly
+                # superlinear past the VMEM-locality knee (measured 4.3 ms
+                # at 3.7 M rows vs 19.8 ms at 7.5 M on v5e), and the
+                # 12-stage pack is ~6x cheaper than the 78-stage bitonic
+                # block sort it replaced.
                 cols = [wz] + ([mask] if n_classes else [])
-                compacted, _n_valid = accum_mod.compact_by_key(key, cols, kr)
+                compacted, _n_valid = accum_mod.compact_valid(key, cols, kr)
 
                 def fold_prefix(acc, compacted=compacted):
                     ck, cw = compacted[0], compacted[1]
@@ -958,13 +966,26 @@ class Engine:
         )
 
     def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:
+        tail = 0
         if n_batches is None:
-            total = total_rays if total_rays is not None else self.cfg.scene.ray_num
-            n_batches = max(1, -(-int(total) // self.batch_size))
+            total = int(total_rays if total_rays is not None else self.cfg.scene.ray_num)
+            n_batches = max(1, -(-total // self.batch_size))
+            # Exact ray budget (server.cpp:1477-1495): the remainder batch
+            # traces only `tail` live lanes (the rest start at weight 0).
+            tail = total - (n_batches - 1) * self.batch_size
+            if tail == self.batch_size or n_batches * self.batch_size == total:
+                tail = 0
+            rays_requested = total
+        else:
+            rays_requested = n_batches * self.batch_size
         done = 0
         while done < n_batches:
             k = min(self.steps_per_dispatch, n_batches - done)
             keep = self._compact_keep
+            is_tail = tail and done + k == n_batches
+            if is_tail and k > 1:
+                k -= 1          # full batches now, the tail alone next
+                is_tail = False
             if k == 1:
                 base = (self.batch_counter * self.batch_size
                         * max(1, len(self.layers) + 1))
@@ -974,6 +995,7 @@ class Engine:
                     jnp.uint32(self.batch_counter),
                     keep,
                     self._plan_version,
+                    jnp.uint32(tail) if is_tail else None,
                 )
             else:
                 self.accum, dropped, segs, live, cont = self._multi_step(
@@ -987,10 +1009,10 @@ class Engine:
             # high-latency device link); stats reads drain lazily.
             self._pending_dropped.append(dropped)
             self._pending_segments.append(segs)
-            if not self._calibrated:
+            if not self._calibrated and not is_tail:
                 self._maybe_calibrate(live, cont, k)
         self.stats = self.stats._replace(
-            rays_traced=self.stats.rays_traced + n_batches * self.batch_size,
+            rays_traced=self.stats.rays_traced + rays_requested,
             stochastic_crystal_samples=self.stats.stochastic_crystal_samples
             + n_batches * sum(
                 k

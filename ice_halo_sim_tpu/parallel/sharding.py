@@ -84,14 +84,27 @@ class ShardedEngine:
         def drain(accum):
             return jax.tree.map(lambda a: jnp.sum(a, axis=0), accum)
 
-        self._drain = jax.jit(drain)
+        # Replicated output: the cross-chip reduction rides ICI within a
+        # host and DCN across hosts, and every process can then read the
+        # drained image locally (np.asarray needs full addressability).
+        self._drain = jax.jit(
+            drain, out_shardings=NamedSharding(self.mesh, P())
+        )
         self.reset()
 
     def reset(self) -> None:
         shard = NamedSharding(self.mesh, P("rays"))
+        # make_array_from_callback builds each process's addressable shards
+        # locally — works identically on a single-process mesh and on a
+        # multi-host (multi-controller) mesh, where device_put of a global
+        # array would fail on non-addressable devices.
         self.accum = tuple(
-            jax.device_put(
-                jnp.zeros((self.n_dev,) + a.shape, a.dtype), shard
+            jax.make_array_from_callback(
+                (self.n_dev,) + a.shape,
+                shard,
+                lambda idx, a=a: np.zeros(
+                    (1,) + a.shape, a.dtype
+                ),
             )
             for a in self.engine.accum
         )

@@ -57,6 +57,33 @@ def check_scatter_blocks():
         log(f"scatter_blocks out_len={out_len}: OK")
 
 
+def check_pack_valid():
+    import jax
+    import jax.numpy as jnp
+
+    from ice_halo_sim_tpu.core import pallas_ops
+
+    rng = np.random.default_rng(2)
+    block, G = 4096, 24
+    N = G * block
+    key = rng.integers(0, 1 << 22, N).astype(np.uint32)
+    key[rng.random(N) < 0.6] = 0xFFFFFFFF
+    w = rng.uniform(0.1, 1.0, N).astype(np.float32)
+    pk, (pw,), counts = jax.jit(
+        lambda k, a: pallas_ops.pack_valid_blocks(k, [a], 0xFFFFFFFF, block)
+    )(jnp.asarray(key), jnp.asarray(w))
+    pk, pw, counts = map(np.asarray, (pk, pw, counts))
+    for g in range(G):
+        sl = slice(g * block, (g + 1) * block)
+        sel = key[sl] != 0xFFFFFFFF
+        n = int(sel.sum())
+        assert counts[g] == n, (g, counts[g], n)
+        np.testing.assert_array_equal(pk[sl][:n], key[sl][sel])
+        np.testing.assert_array_equal(pw[sl][:n], w[sl][sel])
+        assert (pk[sl][n:] == 0xFFFFFFFF).all() and (pw[sl][n:] == 0).all()
+    log("pack_valid_blocks (butterfly compaction): OK")
+
+
 def check_fused_scan():
     import jax
     import jax.numpy as jnp
@@ -107,6 +134,7 @@ def main() -> int:
         return 2
     t0 = time.time()
     check_scatter_blocks()
+    check_pack_valid()
     check_fused_scan()
     check_step_impl()
     log(f"ALL OK in {time.time() - t0:.1f}s on {jax.devices()[0]}")

@@ -68,6 +68,7 @@ def native_build():
     return BUILD
 
 
+@pytest.mark.slow
 def test_standalone_c_frontend(native_build, tmp_path):
     """iht_smoke embeds Python itself and exercises the full C surface."""
     scene = tmp_path / "scene.json"

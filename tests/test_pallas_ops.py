@@ -100,3 +100,75 @@ def test_compact_rows_pallas_path(interpret):
     got = sorted(zip(c_pix[live].tolist(), c_w[live].tolist()))
     want = sorted(zip(pix[valid].tolist(), w[valid].tolist()))
     assert got == want
+
+
+def _np_pack(key, cols, thresh, block):
+    N = key.shape[0]
+    pk = np.full(N, 0xFFFFFFFF, np.uint32)
+    pcols = [np.zeros_like(c) for c in cols]
+    counts = []
+    for g in range(N // block):
+        sl = slice(g * block, (g + 1) * block)
+        kb = key[sl]
+        sel = kb < thresh
+        n = int(sel.sum())
+        counts.append(n)
+        pk[g * block : g * block + n] = kb[sel]
+        for c, pc in zip(cols, pcols):
+            pc[g * block : g * block + n] = c[sl][sel]
+    return pk, pcols, np.asarray(counts, np.int32)
+
+
+@pytest.mark.parametrize("block", [1024, 4096])
+@pytest.mark.parametrize("density", [0.0, 0.07, 0.5, 0.93, 1.0])
+def test_pack_valid_blocks_matches_oracle(interpret, block, density):
+    rng = np.random.default_rng(int(block + density * 100))
+    G = 3
+    N = G * block
+    key = rng.integers(0, 1 << 20, N).astype(np.uint32)
+    dead = rng.random(N) >= density
+    key[dead] = 0xFFFFFFFF
+    w = rng.uniform(0.1, 1.0, N).astype(np.float32)
+    m = rng.integers(0, 1 << 31, N).astype(np.uint32)
+    pk, (pw, pm), counts = jax.jit(
+        lambda k, a, b: pallas_ops.pack_valid_blocks(
+            k, [a, b], 0xFFFFFFFF, block)
+    )(key, w, m)
+    ek, (ew, em), ecnt = _np_pack(key, [w, m], 0xFFFFFFFF, block)
+    np.testing.assert_array_equal(np.asarray(counts), ecnt)
+    np.testing.assert_array_equal(np.asarray(pk), ek)
+    np.testing.assert_array_equal(np.asarray(pw), ew)
+    np.testing.assert_array_equal(np.asarray(pm), em)
+
+
+def test_pack_valid_blocks_threshold_semantics(interpret):
+    # Extraction-style predicate: key2 < P marks markers; stability keeps
+    # them in pixel order.
+    block, P = 1024, 300
+    rng = np.random.default_rng(9)
+    key = rng.integers(0, 2 * P, 2 * block).astype(np.uint32)
+    v = rng.uniform(size=2 * block).astype(np.float32)
+    pk, (pv,), counts = jax.jit(
+        lambda k, a: pallas_ops.pack_valid_blocks(k, [a], P, block)
+    )(key, v)
+    ek, (ev,), ecnt = _np_pack(key, [v], P, block)
+    np.testing.assert_array_equal(np.asarray(counts), ecnt)
+    np.testing.assert_array_equal(np.asarray(pk), ek)
+    np.testing.assert_array_equal(np.asarray(pv), ev)
+
+
+def test_pack_valid_blocks_pads_partial_supergroup(interpret):
+    # G not a multiple of SUP exercises the pad path.
+    block = 1024
+    G = pallas_ops.SUP + 3
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 100, G * block).astype(np.uint32)
+    key[rng.random(G * block) < 0.5] = 0xFFFFFFFF
+    w = rng.uniform(size=G * block).astype(np.float32)
+    pk, (pw,), counts = jax.jit(
+        lambda k, a: pallas_ops.pack_valid_blocks(k, [a], 0xFFFFFFFF, block)
+    )(key, w)
+    ek, (ew,), ecnt = _np_pack(key, [w], 0xFFFFFFFF, block)
+    np.testing.assert_array_equal(np.asarray(counts), ecnt)
+    np.testing.assert_array_equal(np.asarray(pk), ek)
+    np.testing.assert_array_equal(np.asarray(pw), ew)

@@ -53,6 +53,7 @@ SMOKE_CONFIGS = [
 
 
 @pytest.mark.parametrize("name", SMOKE_CONFIGS)
+@pytest.mark.slow
 def test_showcase_config_smoke(name):
     cfg = load_project_file(f"{CONFIG_DIR}/{name}.json")
     eng = Engine(cfg, seed=7, batch_size=1 << 14)

@@ -10,6 +10,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 from tests.conftest import clean_jax_env
 
 SCRIPT = textwrap.dedent(
@@ -52,6 +54,7 @@ SCRIPT = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_sharded_equals_sequential():
     env = clean_jax_env(8)
     env["IHT_TEST_REEXEC"] = "1"
@@ -139,6 +142,7 @@ MS_SCRIPT = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_sharded_multi_scatter_equals_sequential():
     """2-layer prob>0 scene under an 8-device mesh vs the sequential oracle
     (the continuation compaction path MULTICHIP_r01 flagged)."""
