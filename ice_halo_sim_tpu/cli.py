@@ -63,24 +63,54 @@ def main(argv=None) -> int:
     engine = Engine(cfg, seed=args.seed, batch_size=batch, geom_clock=args.geom_clock)
 
     if args.benchmark:
-        # Warm-up pass (compile + cache), then timed steady-state batches.
+        # The reference's [BENCHMARK] contract (main.cpp benchmark branch,
+        # doc/performance-testing.md:186-237): setup_sec excluded from the
+        # rate denominator, rate_basis names which ladder produced it. This
+        # engine is single-device like the reference's GPU route, so the
+        # dual-pass collapses to ONE steady pass labelled mode="multi"
+        # (single/multi parallelism has no referent; workers=1).
+        import numpy as np
+
+        def hard_sync():
+            np.asarray(engine.accum[-1])
+
         engine.run(n_batches=1)
-        jax.block_until_ready(engine.accum)
-        n_timed = max(1, (total or 20 * batch) // batch)
+        engine.run(n_batches=engine.steps_per_dispatch)
+        hard_sync()
+        setup_sec = time.time() - t0
+        spd = engine.steps_per_dispatch
+        infinite = total is None
         t1 = time.time()
-        engine.run(n_batches=n_timed)
-        jax.block_until_ready(engine.accum)
-        dt = time.time() - t1
-        rays = n_timed * batch
-        res = engine.cfg.renders[0].resolution if engine.cfg.renders else (0, 0)
-        print(json.dumps({
-            "metric": "rays_per_sec",
-            "value": rays / dt,
-            "unit": "rays/s",
+        if infinite:
+            # Infinite-config ladder: measure exactly N whole drain windows
+            # (one dispatch = one device-resident accumulation window; the
+            # reference's drain_aligned basis).
+            n_windows = 10
+            for _ in range(n_windows):
+                engine.run(n_batches=spd)
+                hard_sync()
+            active_sec = time.time() - t1
+            rays = n_windows * spd * batch
+            rate_basis = "drain_aligned"
+        else:
+            n_timed = max(1, -(-total // batch))
+            engine.run(n_batches=n_timed)
+            hard_sync()
+            active_sec = time.time() - t1
+            rays = n_timed * batch
+            rate_basis = "steady" if active_sec >= 1.0 else "active_short"
+        wall_sec = time.time() - t0
+        print("[BENCHMARK] " + json.dumps({
+            "mode": "multi",
+            "workers": 1,
+            "cores": os.cpu_count(),
             "rays": rays,
-            "seconds": dt,
+            "wall_sec": round(wall_sec, 3),
+            "setup_sec": round(setup_sec, 3),
+            "active_sec": round(active_sec, 3),
+            "rays_per_sec": round(rays / active_sec, 1),
+            "rate_basis": rate_basis,
             "batch_size": batch,
-            "resolution": list(res),
             "platform": jax.devices()[0].platform,
         }))
         return 0

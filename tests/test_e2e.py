@@ -126,3 +126,31 @@ def test_cli_renders_png(tmp_path):
     data = png.read_bytes()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert len(data) > 2000
+
+
+def test_cli_benchmark_contract(tmp_path):
+    """--benchmark emits the reference's [BENCHMARK] line: rate excludes
+    setup, rate_basis names the ladder (doc/performance-testing.md:186-237)."""
+    import json as json_mod
+
+    cfg_path = tmp_path / "scene.json"
+    cfg_path.write_text(json_mod.dumps(SMOKE_CFG))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-m", "ice_halo_sim_tpu.cli", str(cfg_path),
+         "--benchmark", "--ray-num", "20000", "--batch-size", "4096",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-2000:])
+    line = next(l for l in out.stdout.splitlines() if l.startswith("[BENCHMARK] "))
+    rec = json_mod.loads(line[len("[BENCHMARK] "):])
+    assert rec["mode"] == "multi" and rec["workers"] == 1
+    assert rec["rays"] == 20480  # 5 batches of 4096
+    assert rec["rate_basis"] in ("steady", "active_short")
+    assert rec["active_sec"] > 0 and rec["setup_sec"] > 0
+    assert rec["rays_per_sec"] == pytest.approx(
+        rec["rays"] / rec["active_sec"], rel=0.01)
+    assert rec["wall_sec"] >= rec["active_sec"] + rec["setup_sec"] - 0.01
