@@ -142,10 +142,16 @@ class Server:
     # -- commit protocol ----------------------------------------------------
 
     def commit(self, config: Union[ProjectConfig, dict, str]) -> bool:
-        """Commit a scene. Returns True if the previous accumulation was
-        reused (value-equal layout), False if simulation restarted."""
+        """Commit a scene (ProjectConfig, dict, JSON text, or a file path).
+        Returns True if the previous accumulation was reused (value-equal
+        layout), False if simulation restarted."""
         if isinstance(config, str):
-            cfg = load_project_file(config)
+            if config.lstrip().startswith("{"):
+                import json as _json
+
+                cfg = load_project(_json.loads(config))
+            else:
+                cfg = load_project_file(config)
         elif isinstance(config, dict):
             cfg = load_project(config)
         else:
@@ -234,6 +240,11 @@ class Server:
                 landed=landed,
                 ev_auto=evs,
             )
+
+    def config(self):
+        """The committed ProjectConfig (None before the first commit)."""
+        with self._lock:
+            return self._cfg
 
     def sim_ray_count(self) -> int:
         with self._lock:

@@ -518,7 +518,16 @@ class Engine:
                 (u * self.k_pool).astype(jnp.uint32), jnp.uint32(self.k_pool - 1)
             )
             wl = self._wl_from_idx(wl_idx, batch_counter)
-            w0 = color.illuminant_spd_fast(self.illuminant, wl)
+            # The SPD weight depends only on the POOL entry (wl is a pure
+            # function of wl_idx), so evaluate the illuminant on the K pool
+            # wavelengths once and expand by index — the per-RAY daylight
+            # interpolation this replaces was ~3.3 ms/batch at B=512k.
+            pool_idx = jnp.arange(self.k_pool, dtype=jnp.uint32)
+            spd_tbl = color.illuminant_spd_fast(
+                self.illuminant, self._wl_from_idx(pool_idx, batch_counter)
+            )                                                    # [K]
+            oh = wl_idx[:, None] == pool_idx[None, :]            # [B, K]
+            w0 = jnp.sum(jnp.where(oh, spd_tbl[None, :], 0.0), axis=-1)
         return wl, w0, wl_idx
 
     def _trace_batch_impl(self, batch_base, batch_counter, n_active=None):

@@ -8,10 +8,10 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an [H, W, 3] uint8 array as a PNG file."""
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an [H, W, 3] uint8 array as PNG bytes."""
     if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("write_png expects [H, W, 3] uint8")
+        raise ValueError("encode_png expects [H, W, 3] uint8")
     h, w, _ = rgb.shape
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -25,8 +25,15 @@ def write_png(path: str, rgb: np.ndarray) -> None:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = np.concatenate([np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1)
     idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an [H, W, 3] uint8 array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", idat))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(rgb))
