@@ -147,3 +147,104 @@ def test_empty_batch_degenerate_config_no_assert():
     eng = Engine(cfg, seed=5, batch_size=1 << 13)
     eng.run(n_batches=1)
     assert np.isfinite(eng.raw_xyz(0)).all()
+
+
+def test_ms_filter_fail_rays_do_not_leak_to_next_layer():
+    """MS filter leak repro scenario (test_ms_filter_leak.py
+    test_repro_scenario): layer-1 exits that FAIL the layer's filter must
+    not continue into layer 2 either — a 2-layer scene whose first layer
+    filters everything out yields an all-black image even though layer 2
+    would happily scatter whatever reached it."""
+    base = {
+        "crystal": [
+            {"id": 1, "type": "prism", "shape": {"height": 1.0},
+             "axis": {"zenith": {"type": "uniform", "mean": 90, "std": 360},
+                      "azimuth": {"type": "uniform", "mean": 0, "std": 360},
+                      "roll": {"type": "uniform", "mean": 0, "std": 360}}},
+        ],
+        "filter": [
+            # [1, 1]: exit through basal face 1 twice — impossible in a
+            # convex prism, so every layer-1 exit fails.
+            {"id": 7, "type": "raypath", "action": "filter_in",
+             "raypath": [1, 1], "symmetry": "none"},
+        ],
+        "scene": {
+            "light_source": {"type": "sun", "altitude": 30,
+                             "spectrum": [{"wavelength": 550, "weight": 1.0}]},
+            "ray_num": 30000, "max_hits": 5,
+            "scattering": [
+                {"prob": 1.0,
+                 "entries": [{"crystal": 1, "filter": 7, "proportion": 100}]},
+                {"prob": 0.0,
+                 "entries": [{"crystal": 1, "proportion": 100}]},
+            ],
+        },
+        "render": [
+            {"id": 1, "lens": {"type": "fisheye_equal_area", "fov": 150},
+             "resolution": [64, 64], "view": {"elevation": 30},
+             "visible": "full"},
+        ],
+    }
+    eng = Engine(load_project(base), seed=5, batch_size=1 << 13)
+    eng.run(n_batches=2)
+    assert float(np.abs(eng.raw_xyz(0)).sum()) == 0.0, (
+        "filter-failed rays leaked through the MS boundary")
+
+    # Control: the same scene without the filter is NOT black (the test
+    # has teeth).
+    import copy
+
+    open_cfg = copy.deepcopy(base)
+    open_cfg["scene"]["scattering"][0]["entries"][0].pop("filter")
+    eng2 = Engine(load_project(open_cfg), seed=5, batch_size=1 << 13)
+    eng2.run(n_batches=2)
+    assert float(np.abs(eng2.raw_xyz(0)).sum()) > 0.0
+
+
+@pytest.mark.slow
+def test_cli_benchmark_infinite_terminates(tmp_path):
+    """Benchmark-infinite hang sentinel (test_benchmark_infinite_no_hang):
+    --benchmark on a ray_num="infinite" config must TERMINATE with a
+    drain_aligned [BENCHMARK] line (the reference's bug class: a poll
+    loop whose per-poll cost starved drain-window closure)."""
+    import json as json_mod
+    import os
+    import subprocess
+    import sys
+
+    cfg = {
+        "crystal": [
+            {"id": 1, "type": "prism", "shape": {"height": 1.0},
+             "axis": {"zenith": {"type": "uniform", "mean": 90, "std": 360}}},
+        ],
+        "filter": [],
+        "scene": {
+            "light_source": {"type": "sun", "altitude": 40,
+                             "spectrum": [{"wavelength": 550, "weight": 1.0}]},
+            "ray_num": "infinite", "max_hits": 4,
+            "scattering": [
+                {"prob": 0.0, "entries": [{"crystal": 1, "proportion": 100}]}
+            ],
+        },
+        "render": [
+            {"id": 1, "lens": {"type": "fisheye_equal_area", "fov": 120},
+             "resolution": [64, 64], "view": {"elevation": 40},
+             "visible": "full"},
+        ],
+    }
+    path = tmp_path / "inf.json"
+    path.write_text(json_mod.dumps(cfg))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-m", "ice_halo_sim_tpu.cli", str(path),
+         "--benchmark", "--batch-size", "4096", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-2000:])
+    line = next(l for l in out.stdout.splitlines()
+                if l.startswith("[BENCHMARK] "))
+    rec = json_mod.loads(line[len("[BENCHMARK] "):])
+    assert rec["rate_basis"] == "drain_aligned"
+    assert rec["rays"] > 0 and rec["rays_per_sec"] > 0
