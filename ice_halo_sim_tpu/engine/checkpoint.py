@@ -38,7 +38,19 @@ def save_checkpoint(path: str, engine: Engine) -> None:
         "stats": stats._asdict(),
         "n_accum": len(engine.accum),
     }
-    arrays = {f"accum_{i}": np.asarray(a) for i, a in enumerate(engine.accum)}
+    if engine._sandwich_on:
+        # Canonical DENSE form: assemble the MXU tiles into [P, 3] images so
+        # the checkpoint is portable across fold architectures (a CPU engine
+        # restores it into its dense accumulator, a TPU sandwich engine into
+        # its settled host image).
+        R = len(engine.proj_plans)
+        arrays = {
+            f"accum_{i}": engine._sandwich_dense(i) for i in range(R)
+        }
+        arrays[f"accum_{R}"] = np.asarray(engine.accum[-1])
+        header["n_accum"] = R + 1
+    else:
+        arrays = {f"accum_{i}": np.asarray(a) for i, a in enumerate(engine.accum)}
     np.savez_compressed(path, header=json.dumps(header), **arrays)
 
 
@@ -61,14 +73,25 @@ def load_checkpoint(path: str) -> Engine:
         accum = tuple(
             jnp.asarray(data[f"accum_{i}"]) for i in range(header["n_accum"])
         )
-        if len(accum) != len(engine.accum):
-            raise ValueError("checkpoint accumulator count mismatch")
-        for saved, fresh in zip(accum, engine.accum):
-            if saved.shape != fresh.shape:
-                raise ValueError(
-                    f"checkpoint accumulator shape {saved.shape} != {fresh.shape}"
-                )
-        engine.accum = accum
+        if engine._sandwich_on:
+            # Dense-form checkpoint into a sandwich engine: the image mass
+            # lives in the settled host image; device tiles stay zero.
+            R = len(engine.proj_plans)
+            if len(accum) != R + 1:
+                raise ValueError("checkpoint accumulator count mismatch")
+            engine._settled = [
+                np.asarray(accum[r], np.float64)[:, :3] for r in range(R)
+            ]
+            engine.accum = engine.accum[:-1] + (accum[-1],)
+        else:
+            if len(accum) != len(engine.accum):
+                raise ValueError("checkpoint accumulator count mismatch")
+            for saved, fresh in zip(accum, engine.accum):
+                if saved.shape != fresh.shape:
+                    raise ValueError(
+                        f"checkpoint accumulator shape {saved.shape} != {fresh.shape}"
+                    )
+            engine.accum = accum
         engine.batch_counter = int(header["batch_counter"])
         engine.stats = Stats(**header["stats"])
     return engine

@@ -47,6 +47,13 @@ class ShardedEngine:
         # shard_map body.
         self.engine = Engine(cfg, seed=seed, batch_size=per_device_batch,
                              geom_clock=geom_clock)
+        if self.engine._sandwich_on:
+            # The sharded path reduces dense [P, C] accumulators with a
+            # tree-mapped psum; the sandwich's chunk-major tiles + host
+            # settle cycle are single-chip machinery for now. Force the
+            # sort fold under shard_map (future: per-shard tiles + psum).
+            self.engine._sandwich_on = False
+            self.engine.reset()
         self.cfg = cfg
         self.per_device_batch = per_device_batch
         self.batch_counter = 0
