@@ -110,6 +110,9 @@ def main() -> int:
         "resolution": [512, 256],
         "platform": platform,
         "max_hits": 7,
+        # Which accumulation fold produced this number (round-2 lesson: a
+        # silent runtime fallback benched the sort fold unattributed).
+        "fold": engine.fold_kind,
     }))
     return 0
 

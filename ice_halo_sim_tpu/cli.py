@@ -21,9 +21,14 @@ def main(argv=None) -> int:
     parser.add_argument("config", help="project JSON file")
     parser.add_argument("-o", "--output", default=".", help="output directory")
     parser.add_argument("--ray-num", type=int, default=None, help="override scene ray_num")
-    parser.add_argument("--seed", type=int, default=1)
-    parser.add_argument("--batch-size", type=int, default=None)
-    parser.add_argument("--geom-clock", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="RNG seed (default: IHT_SEED env knob, else 1)")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="rays per device step (default: IHT_BATCH_SIZE "
+                             "env knob, else a platform heuristic)")
+    parser.add_argument("--geom-clock", type=int, default=None,
+                        help="rays per sampled crystal shape (default: "
+                             "IHT_GEOM_CLOCK env knob, else 32)")
     parser.add_argument("--benchmark", action="store_true",
                         help="measure steady-state rays/s and print [BENCHMARK] JSON")
     parser.add_argument("--draw-overlays", action="store_true",
@@ -31,15 +36,19 @@ def main(argv=None) -> int:
                              "(display-time overlays; the reference draws these only "
                              "in its GUI shader)")
     parser.add_argument("--platform", default=None,
-                        help="force a JAX platform (e.g. cpu)")
+                        help="force a JAX platform (e.g. cpu; default: "
+                             "IHT_PLATFORM env knob)")
     args = parser.parse_args(argv)
 
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
+    from ice_halo_sim_tpu.utils import env_knobs
+
+    platform = args.platform or env_knobs.get("IHT_PLATFORM")
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     from ice_halo_sim_tpu.config.loader import load_project_file
     from ice_halo_sim_tpu.engine.simulator import Engine
@@ -53,14 +62,21 @@ def main(argv=None) -> int:
             return 2
         total = None
 
+    seed = args.seed if args.seed is not None else env_knobs.get("IHT_SEED", 1)
+    geom_clock = (
+        args.geom_clock if args.geom_clock is not None
+        else env_knobs.get("IHT_GEOM_CLOCK", 32)
+    )
     batch = args.batch_size
+    if batch is None:
+        batch = env_knobs.get("IHT_BATCH_SIZE")
     if batch is None:
         batch = 1 << 17 if jax.devices()[0].platform == "cpu" else 1 << 20
     if total is not None:
         batch = min(batch, max(4096, total))
 
     t0 = time.time()
-    engine = Engine(cfg, seed=args.seed, batch_size=batch, geom_clock=args.geom_clock)
+    engine = Engine(cfg, seed=seed, batch_size=batch, geom_clock=geom_clock)
 
     if args.benchmark:
         # The reference's [BENCHMARK] contract (main.cpp benchmark branch,

@@ -94,16 +94,25 @@ def _kernel(chunks_ref, pixc_ref, pixr_ref, w_ref, wl_ref, tbl_ref, out_ref,
     ohwl = (wl == jax.lax.broadcasted_iota(jnp.int32, (rb, k_pool), 1)).astype(
         jnp.float32
     )
-    vals = jnp.dot(ohwl, tbl_ref[...], preferred_element_type=jnp.float32)
+    # HIGHEST precision: the default MXU f32 matmul runs at bf16 precision,
+    # which would round `vals` BEFORE the precise variant's two-term split
+    # (measured on v5e: the split then recovers nothing).
+    vals = jax.lax.dot_general(
+        ohwl, tbl_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     vals = vals * w                                        # [RB, C]
 
     # Level-1: row chunk vs the chunk LIST (arbitrary subset, no gather).
     hi = pixc // NLO                                       # [1, RB]
-    ohT = (cl == hi).astype(jnp.bfloat16)                  # [NC, RB]
-    # Per-row membership (free: ohT already exists) — the cold-routing flag.
-    matched_ref[...] = (jnp.max(ohT, axis=0, keepdims=True) > 0).astype(
-        jnp.int32
-    )
+    eq = cl == hi                                          # [NC, RB] i1
+    ohT = eq.astype(jnp.bfloat16)
+    # Per-row membership — the cold-routing flag. Derived from the INTEGER
+    # compare: a bf16 vector compare (round-2 formulation jnp.max(ohT) > 0)
+    # lowers to arith.cmpf on vector<...xbf16>, which Mosaic rejects
+    # ("Target does not support this comparison", BENCH_r02).
+    matched_ref[...] = jnp.max(eq.astype(jnp.int32), axis=0, keepdims=True)
     # Level-2: lo one-hot.
     lo = pixr - (pixr // NLO) * NLO                        # [RB, 1]
     ohlo = (lo == jax.lax.broadcasted_iota(jnp.int32, (rb, NLO), 1)).astype(

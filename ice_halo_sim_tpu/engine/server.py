@@ -122,11 +122,24 @@ class Server:
     time until the committed ray budget is met (ray_num < 0 = run forever).
     """
 
-    def __init__(self, seed: int = 1, batch_size: Optional[int] = None,
-                 geom_clock: int = DEFAULT_GEOM_CLOCK):
-        self._seed = seed
-        self._batch_size = batch_size
-        self._geom_clock = geom_clock
+    def __init__(self, seed: Optional[int] = None, batch_size: Optional[int] = None,
+                 geom_clock: Optional[int] = None):
+        from ice_halo_sim_tpu.utils import env_knobs
+
+        self._seed = seed if seed is not None else env_knobs.get("IHT_SEED", 1)
+        self._batch_size = (
+            batch_size if batch_size is not None
+            else env_knobs.get("IHT_BATCH_SIZE")
+        )
+        self._geom_clock = (
+            geom_clock if geom_clock is not None
+            else env_knobs.get("IHT_GEOM_CLOCK", DEFAULT_GEOM_CLOCK)
+        )
+        # Pump batches between implicit stat drains: bounds the pending
+        # device-counter lists on infinite runs (each pump batch appends
+        # two small device arrays until someone calls drain_stats).
+        self._snapshot_every = int(env_knobs.get("IHT_SNAPSHOT_EVERY", 64))
+        self._since_drain = 0
         self._lock = threading.RLock()
         self._wake = threading.Condition(self._lock)
         self._engine: Optional[Engine] = None
@@ -200,6 +213,10 @@ class Server:
                     return
                 engine = self._engine
                 engine.run(n_batches=1)
+                self._since_drain += 1
+                if self._since_drain >= self._snapshot_every:
+                    engine.drain_stats()
+                    self._since_drain = 0
                 self._wake.notify_all()
 
     # -- results ------------------------------------------------------------

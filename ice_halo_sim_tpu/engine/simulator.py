@@ -177,9 +177,20 @@ class Engine:
         # cuts ~20% of live rows at ~1e-5 relative mass loss.
         self.min_emit_frac = float(env_knobs.get("IHT_MIN_EMIT_W", 1e-3))
         self._recompute_rows_per_render()
+        self._sandwich_degraded = False
         self._sandwich_setup()
         if self._sandwich_on:
             self.reset()  # rebuild accumulators in tile form
+
+    @property
+    def fold_kind(self) -> str:
+        """Which accumulation fold this engine runs: 'sandwich' | 'sort' |
+        'sort-legacy' | 'scatter', with '+degraded' appended when a runtime
+        fallback disabled the sandwich mid-run. Gates and benchmark JSON must
+        record this (round-2 lesson: the silent fallback produced a benchmark
+        number with no fold attribution, VERDICT r2 weak #3)."""
+        kind = "sandwich" if self._sandwich_on else self._resolved_accum_method()
+        return kind + ("+degraded" if self._sandwich_degraded else "")
 
     def _recompute_rows_per_render(self) -> None:
         # Static contribution-row count per render per batch.
@@ -1255,8 +1266,12 @@ class Engine:
                 # a Mosaic lowering/compile failure in the sandwich kernel
                 # must degrade to the proven sort fold, not brick the run.
                 # Compile failures happen before execution, so the tiles are
-                # intact: settle them host-side, rebuild dense accumulators,
-                # and retry this dispatch on the fallback path.
+                # intact; a POST-donation runtime failure leaves them deleted
+                # (donate_argnums=(0,)) and settlement would mask the original
+                # error with a secondary "buffer deleted" — probe first and
+                # re-raise (ADVICE r2 #3).
+                if any(getattr(a, "is_deleted", lambda: False)() for a in self.accum):
+                    raise
                 from ice_halo_sim_tpu.utils.log import get_logger
 
                 get_logger("engine").exception(
@@ -1268,6 +1283,7 @@ class Engine:
                     for r in range(len(self.proj_plans))
                 ]
                 self._sandwich_on = False
+                self._sandwich_degraded = True
                 self.accum = tuple(dense) + (self.accum[-1],)
                 self._plan_version += 1
                 continue

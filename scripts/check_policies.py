@@ -16,6 +16,9 @@ Checks:
      of crashing (the round-1 postmortem item).
   5. no-reference-writes — nothing in the package reads /root/reference at
      runtime (tests and tooling may; the library must be standalone).
+  6. knob-consumption — every registered knob has at least one
+     env_knobs.get() consumer inside the package: a knob with no consumer
+     is documented capability that does not exist (round-2 VERDICT weak #6).
 
 Exit code 0 = all green. Run from the repo root (CI / pre-commit).
 """
@@ -111,6 +114,26 @@ def check_pallas_kill_switch():
                  "IHT_PALLAS")
 
 
+def check_knob_consumption():
+    sys.path.insert(0, REPO)
+    from ice_halo_sim_tpu.utils import env_knobs
+
+    pat = re.compile(r"env_knobs\.get\(\s*[\"'](\w+)[\"']")
+    consumed = set()
+    for path in pkg_files():
+        if path.endswith("utils/env_knobs.py"):
+            continue
+        for line in open(path):
+            m = pat.search(line)
+            if m:
+                consumed.add(m.group(1))
+    for name in env_knobs.KNOBS:
+        if name not in consumed:
+            fail("knob-consumption",
+                 f"{name} is registered/documented but consumed nowhere in "
+                 "the package — wire it or drop it")
+
+
 def check_no_reference_reads():
     for path in pkg_files():
         rel = os.path.relpath(path, REPO)
@@ -127,6 +150,7 @@ def main() -> int:
     check_knob_registry()
     check_no_gather_in_hot_path()
     check_pallas_kill_switch()
+    check_knob_consumption()
     check_no_reference_reads()
     if failures:
         print(f"POLICY FAILURES ({len(failures)}):")

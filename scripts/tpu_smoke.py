@@ -111,15 +111,66 @@ def check_fused_scan():
     log("fold_spectral (pallas_scan + scatter path): OK")
 
 
+def check_sandwich():
+    """sandwich_pass hot + cold + precise on the REAL chip vs float64 truth
+    (round-2 regression class: kernel passed interpreter tests, failed
+    Mosaic lowering — arith.cmpf on bf16 vectors, BENCH_r02)."""
+    import jax.numpy as jnp
+
+    from ice_halo_sim_tpu.core import pallas_sandwich as ps
+
+    rng = np.random.default_rng(0)
+    P, K, n = 256 * ps.NLO, 64, 1 << 16
+    tbl = rng.random((K, 3)).astype(np.float32)
+    hot = np.sort(rng.choice(P // ps.NLO, 128, replace=False)).astype(np.int32)
+    cold = np.setdiff1d(np.arange(P // ps.NLO, dtype=np.int32), hot)
+    pix = rng.integers(-1, P, n).astype(np.int32)
+    w = rng.random(n).astype(np.float32)
+    w[pix < 0] = 0
+    wl = rng.integers(0, K, n).astype(np.uint32)
+
+    vals = tbl[wl].astype(np.float64) * w[:, None]
+    img = np.zeros((P, 3))
+    np.add.at(img, pix[pix >= 0], vals[pix >= 0])
+
+    for precise, tol in ((False, 4e-3), (True, 1e-5)):
+        ht, m = ps.sandwich_pass(
+            jnp.zeros((len(hot), 3 * ps.NLO), jnp.float32), jnp.asarray(hot),
+            jnp.asarray(pix), jnp.asarray(w), jnp.asarray(wl),
+            jnp.asarray(tbl), k_pool=K, precise=precise,
+        )
+        is_hot = np.isin(pix // ps.NLO, hot) & (pix >= 0)
+        np.testing.assert_array_equal(np.asarray(m), is_hot.astype(np.int32))
+        ct, _ = ps.sandwich_pass(
+            jnp.zeros((len(cold), 3 * ps.NLO), jnp.float32), jnp.asarray(cold),
+            jnp.asarray(np.where(is_hot, -1, pix).astype(np.int32)),
+            jnp.asarray(np.where(is_hot, 0, w).astype(np.float32)),
+            jnp.asarray(wl), jnp.asarray(tbl), k_pool=K, precise=precise,
+        )
+        got = ps.assemble_image([(ht, hot), (ct, cold)], P, 3)
+        err = np.abs(got - img).max() / (np.abs(img).max() + 1e-12)
+        assert err < tol, (precise, err)
+        log(f"sandwich_pass precise={precise} two-pass vs f64: rel {err:.2e} OK")
+
+
 def check_step_impl():
     import __graft_entry__ as ge
 
     engine = ge._bench_engine(batch_size=8192)
+    assert engine._sandwich_on, (
+        "sandwich fold did not engage on the bench scene — the gate exists "
+        "to exercise the production fold, not the fallback"
+    )
     engine.run(n_batches=2)
+    engine.run(n_batches=2)  # post-calibration step (rebased hot lists)
+    assert engine.fold_kind == "sandwich", (
+        f"fold degraded to {engine.fold_kind!r} — the smoke gate treats any "
+        "silent fallback as FAILURE (round-2 lesson)"
+    )
     xyz = engine.raw_xyz(0)
     assert np.isfinite(xyz).all(), "step produced non-finite accumulators"
     assert xyz.sum() > 0, "step produced an empty image"
-    log("Engine._step_impl tiny batch: OK")
+    log(f"Engine._step_impl tiny batch (fold={engine.fold_kind}): OK")
 
 
 def main() -> int:
@@ -136,6 +187,7 @@ def main() -> int:
     check_scatter_blocks()
     check_pack_valid()
     check_fused_scan()
+    check_sandwich()
     check_step_impl()
     log(f"ALL OK in {time.time() - t0:.1f}s on {jax.devices()[0]}")
     return 0
