@@ -88,13 +88,22 @@ def main() -> int:
 
     # Steady-state window: >= 200M-ray-class runs on accelerators
     # (doc/performance-testing.md measurement discipline), ~8 s wall cap.
+    # Dispatches are issued asynchronously and synced only every ~2 s: a
+    # host sync per dispatch costs a full round trip (~150-200 ms over a
+    # tunneled device link) and was measured to eat ~40% of the window.
     t0 = time.time()
     batches = 0
     chunk = engine.steps_per_dispatch if platform != "cpu" else 4
-    while batches < 1024 and (time.time() - t0) < 8.0:
+    sync_every = 8 * chunk if platform != "cpu" else chunk
+    since_sync = 0
+    while batches < 4096 and (time.time() - t0) < 8.0:
         engine.run(n_batches=chunk)
-        hard_sync()
         batches += chunk
+        since_sync += chunk
+        if since_sync >= sync_every:
+            hard_sync()
+            since_sync = 0
+    hard_sync()
     dt = time.time() - t0
     rays = batches * batch
     value = rays / dt

@@ -139,31 +139,84 @@ def _kernel(chunks_ref, pixc_ref, pixr_ref, w_ref, wl_ref, tbl_ref, out_ref,
         out_ref[...] += accumulate(vals)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k_pool", "rb", "precise")
-)
-def sandwich_pass(tile, chunk_list, pix, w, wl_idx, tbl, *, k_pool: int,
-                  rb: int = DEFAULT_RB, precise: bool = False):
-    """Accumulate rows whose chunk (pix // 128) appears in `chunk_list`.
+def _kernel_lane(chunks_ref, pixc_ref, w_ref, wl_ref, tbl_ref, out_ref,
+                 matched_ref, *, nc, rb, k_pool, c_out, precise):
+    """Lane-major kernel: EVERY per-row operand is [1, RB] (rows in lanes).
 
-    tile:       [NC, C * 128] f32 — the running chunk-major accumulator.
-    chunk_list: [NC] int32 — arbitrary chunk ids (one tile row each). Ids
-                must be unique; a negative id matches nothing (padding).
-    pix:        [N] int32 pixel ids; rows with pix outside [0, P) or whose
-                chunk is not listed contribute nothing (and cost nothing).
-    w:          [N] f32 weights (dead rows: 0).
-    wl_idx:     [N] uint32/int32 wavelength-pool indices in [0, k_pool).
-    tbl:        [k_pool, C] f32 per-pool-entry channel basis.
-
-    Returns (tile + contributions, matched [N] i32) where matched[r] = 1
-    iff row r's chunk appears in chunk_list (the cold-routing flag; padding
-    rows report their chunk like any other). Exact in the one-hot factors;
-    `vals` rounds to bf16 unless precise=True (two-term split, ~f32).
+    The [RB, 1] sublane-major operands of `_kernel` force XLA to relayout
+    [N, 1] arrays whose physical footprint pads the lane dim 1 -> 128
+    (~64 bytes per row per operand); at fold row counts those relayouts
+    dominate the pass. Here the second one-hot factor is built TRANSPOSED
+    ([C*NLO, RB]) and the product contracts both operands on the lane dim
+    (A @ B^T), which the MXU supports natively.
     """
-    nc, cw = tile.shape
-    k = int(k_pool)
-    c_out = cw // NLO
-    assert cw == c_out * NLO, (cw, NLO)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    pixc = pixc_ref[...]                                   # [1, RB] i32
+    w = w_ref[...]                                         # [1, RB] f32
+    wl = wl_ref[...]                                       # [1, RB] i32
+    cl = chunks_ref[...]                                   # [NC, 1] i32
+    cl = jnp.where(cl < 0, jnp.int32(-0x40000000), cl)
+
+    # Per-row XYZ basis, transposed: [C, RB] = tblT [C, K] @ onehot [K, RB].
+    ohwlT = (
+        jax.lax.broadcasted_iota(jnp.int32, (k_pool, rb), 0) == wl
+    ).astype(jnp.float32)
+    valsT = jax.lax.dot_general(
+        tbl_ref[...], ohwlT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                      # [C, RB]
+    valsT = valsT * w
+
+    hi = pixc // NLO                                       # [1, RB]
+    eq = cl == hi                                          # [NC, RB]
+    ohT = eq.astype(jnp.bfloat16)
+    matched_ref[...] = jnp.max(eq.astype(jnp.int32), axis=0, keepdims=True)
+
+    lo = pixc - hi * NLO                                   # [1, RB]
+    ohloT = (
+        jax.lax.broadcasted_iota(jnp.int32, (NLO, rb), 0) == lo
+    ).astype(jnp.float32)                                  # [NLO, RB]
+
+    def accumulate(vT):
+        bmatT = jnp.concatenate(
+            [
+                (ohloT * vT[c : c + 1, :]).astype(jnp.bfloat16)
+                for c in range(c_out)
+            ],
+            axis=0,
+        )                                                  # [C*NLO, RB]
+        return jax.lax.dot_general(
+            ohT, bmatT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if precise:
+        v_hi = valsT.astype(jnp.bfloat16).astype(jnp.float32)
+        out_ref[...] += accumulate(v_hi) + accumulate(valsT - v_hi)
+    else:
+        out_ref[...] += accumulate(valsT)
+
+
+# Kernel operand layout: "lane" = every per-row operand [1, N] (rows in
+# lanes; second matmul factor built transposed, A @ B^T). "sublane" = the
+# round-2 formulation with [N, 1] operands, whose XLA relayout pads each
+# row to a full 128-lane tile (~64 B/row/operand) — kept for A/B probing.
+LAYOUT = "lane"
+
+
+def prep_rows(pix, w, wl_idx, rb: int = DEFAULT_RB, layout: str = None):
+    """Pad + relayout the per-row operands once for a SET of passes.
+
+    A level whose chunk list splits into several <=256-chunk sub-passes
+    must pay the pad/reshape once, not per sub-pass. Returns an opaque
+    tuple for sandwich_pass_prepped."""
+    layout = layout or LAYOUT
     n0 = pix.shape[0]
     pad = (-n0) % rb
     if pad:
@@ -171,6 +224,69 @@ def sandwich_pass(tile, chunk_list, pix, w, wl_idx, tbl, *, k_pool: int,
         w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
         wl_idx = jnp.concatenate([wl_idx, jnp.zeros((pad,), wl_idx.dtype)])
     n = n0 + pad
+    if layout == "lane":
+        return (
+            "lane",
+            pix.reshape(1, n),
+            w.reshape(1, n),
+            wl_idx.astype(jnp.int32).reshape(1, n),
+            n0,
+            rb,
+        )
+    return (
+        "sublane",
+        pix.reshape(1, n),
+        pix.reshape(n, 1),
+        w.reshape(n, 1),
+        wl_idx.astype(jnp.int32).reshape(n, 1),
+        n0,
+        rb,
+    )
+
+
+def sandwich_pass_prepped(tile, chunk_list, prepped, tbl, *, k_pool: int,
+                          precise: bool = False):
+    """sandwich_pass over operands already shaped by prep_rows."""
+    nc, cw = tile.shape
+    k = int(k_pool)
+    c_out = cw // NLO
+    assert cw == c_out * NLO, (cw, NLO)
+    layout = prepped[0]
+    if layout == "lane":
+        _tag, pixc, w2, wl2, n0, rb = prepped
+        n = pixc.shape[1]
+        grid = (n // rb,)
+        kern = functools.partial(
+            _kernel_lane, nc=nc, rb=rb, k_pool=k, c_out=c_out,
+            precise=precise,
+        )
+        out, matched = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nc, 1), lambda i: (0, 0)),
+                pl.BlockSpec((1, rb), lambda i: (0, i)),
+                pl.BlockSpec((1, rb), lambda i: (0, i)),
+                pl.BlockSpec((1, rb), lambda i: (0, i)),
+                pl.BlockSpec((k, c_out), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((nc, cw), lambda i: (0, 0)),
+                pl.BlockSpec((1, rb), lambda i: (0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nc, cw), jnp.float32),
+                jax.ShapeDtypeStruct((1, n), jnp.int32),
+            ],
+            interpret=INTERPRET,
+        )(
+            chunk_list.astype(jnp.int32).reshape(nc, 1),
+            pixc, w2, wl2, tbl,
+        )
+        return tile + out, matched.reshape(n)[:n0]
+
+    _tag, pixc, pixr, w2, wl2, n0, rb = prepped
+    n = pixc.shape[1]
     grid = (n // rb,)
     kern = functools.partial(
         _kernel, nc=nc, rb=rb, k_pool=k, c_out=c_out, precise=precise
@@ -197,13 +313,41 @@ def sandwich_pass(tile, chunk_list, pix, w, wl_idx, tbl, *, k_pool: int,
         interpret=INTERPRET,
     )(
         chunk_list.astype(jnp.int32).reshape(nc, 1),
-        pix.reshape(1, n),
-        pix.reshape(n, 1),
-        w.reshape(n, 1),
-        wl_idx.astype(jnp.int32).reshape(n, 1),
-        tbl,
+        pixc, pixr, w2, wl2, tbl,
     )
     return tile + out, matched.reshape(n)[:n0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_pool", "rb", "precise")
+)
+def sandwich_pass(tile, chunk_list, pix, w, wl_idx, tbl, *, k_pool: int,
+                  rb: int = DEFAULT_RB, precise: bool = False):
+    """Accumulate rows whose chunk (pix // 128) appears in `chunk_list`.
+
+    tile:       [NC, C * 128] f32 — the running chunk-major accumulator.
+    chunk_list: [NC] int32 — arbitrary chunk ids (one tile row each). Ids
+                must be unique; a negative id matches nothing (padding).
+    pix:        [N] int32 pixel ids; rows with pix outside [0, P) or whose
+                chunk is not listed contribute nothing (and cost nothing).
+    w:          [N] f32 weights (dead rows: 0).
+    wl_idx:     [N] uint32/int32 wavelength-pool indices in [0, k_pool).
+    tbl:        [k_pool, C] f32 per-pool-entry channel basis.
+
+    Returns (tile + contributions, matched [N] i32) where matched[r] = 1
+    iff row r's chunk appears in chunk_list (the cold-routing flag; padding
+    rows report their chunk like any other). Exact in the one-hot factors;
+    `vals` rounds to bf16 unless precise=True (two-term split, ~f32).
+
+    Keep NC <= ~256: the [NC, RB] one-hot working set scales with NC and
+    past ~512 chunks the kernel spills VMEM (measured 2.7x slowdown at
+    NC=1024). Callers with wider lists split them into sub-passes over one
+    prep_rows result (engine _sandwich_level_pass).
+    """
+    prepped = prep_rows(pix, w, wl_idx, rb)
+    return sandwich_pass_prepped(
+        tile, chunk_list, prepped, tbl, k_pool=k_pool, precise=precise
+    )
 
 
 def sandwich_oracle(tile, chunk_list, pix, w, wl_idx, tbl):

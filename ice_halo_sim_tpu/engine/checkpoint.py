@@ -42,10 +42,12 @@ def save_checkpoint(path: str, engine: Engine) -> None:
         # Canonical DENSE form: assemble the MXU tiles into [P, 3] images so
         # the checkpoint is portable across fold architectures (a CPU engine
         # restores it into its dense accumulator, a TPU sandwich engine into
-        # its settled host image).
+        # its settled host image). Saved at float64 — the settled image
+        # accumulates at f64 and rounding it to f32 on every save/load
+        # cycle would compound (ADVICE r2 #4).
         R = len(engine.proj_plans)
         arrays = {
-            f"accum_{i}": engine._sandwich_dense(i) for i in range(R)
+            f"accum_{i}": engine._sandwich_dense64(i) for i in range(R)
         }
         arrays[f"accum_{R}"] = np.asarray(engine.accum[-1])
         header["n_accum"] = R + 1
@@ -79,6 +81,17 @@ def load_checkpoint(path: str) -> Engine:
             R = len(engine.proj_plans)
             if len(accum) != R + 1:
                 raise ValueError("checkpoint accumulator count mismatch")
+            for r in range(R):
+                p = engine.proj_plans[r]
+                want = (p.height * p.width, 3)
+                if tuple(accum[r].shape[:2]) != want:
+                    # Same error class as the dense branch: a checkpoint
+                    # from a different resolution must fail HERE, not later
+                    # inside tile assembly with an opaque broadcast error
+                    # (ADVICE r2 #4).
+                    raise ValueError(
+                        f"checkpoint accumulator shape {accum[r].shape} != {want}"
+                    )
             engine._settled = [
                 np.asarray(accum[r], np.float64)[:, :3] for r in range(R)
             ]

@@ -206,20 +206,45 @@ class Engine:
     # Matmul-sandwich fold setup (host)
     # ------------------------------------------------------------------
 
-    _SANDWICH_NHI = 256        # hot chunks (x128 px = 32k hot pixels)
-    _SANDWICH_MAX_CHUNKS = 4096  # cold tile VMEM bound (4096 x 384 f32 = 6 MB)
+    _SANDWICH_NHI = 256        # pre-calibration hot chunks (x128 px = 32k)
+    _SANDWICH_MAX_CHUNKS = 4096  # full tile assembly bound per render
+    _SANDWICH_SUB = 256  # max chunks per kernel pass (VMEM: ohT ~ NC x RB)
+    # Butterfly-scatter dense outputs above this element count fall off the
+    # VMEM-resident path onto the serialized HBM DMA path (~60x slower,
+    # measured scripts/probe_r3_fold.py) — compaction budgets must stay
+    # under it.
+    _SCATTER_VMEM_ROWS = 2_400_000
+    # Measured per-stage costs on v5e (scripts/probe_r3_fold.py, rb=2048):
+    # a level = one prep (pad + [1,N]/[N,1] relayouts) + ceil(NC/SUB)
+    # sub-passes, each VPU-floor-bound (~0.7 ns/row, flat in NC below SUB);
+    # butterfly compaction ~0.35 ns/input-row on the VMEM scatter path.
+    # Used only to CHOOSE the level structure — exactness never depends on
+    # them.
+    _C_PREP = 0.45e-6    # ms per row: per-level operand prep
+    _C_ROW = 0.70e-6     # ms per row per sub-pass
+    _C_SUB = 0.25        # ms fixed per sub-pass
+    _C_PACK = 0.35e-6    # ms per input row, 1-payload butterfly + scatter
 
     def _sandwich_setup(self) -> None:
         """Decide whether the MXU sandwich fold (core/pallas_sandwich.py)
         replaces the sort fold, and build its per-render state.
 
         Eligibility: TPU sort-fold conditions (spectral keys pack) AND no
-        per-class Y lanes AND every render's image fits the cold tile in
+        per-class Y lanes AND every render's image fits the full tile in
         VMEM AND the Pallas kernel is available (IHT_SANDWICH/IHT_PALLAS
-        kill switches; interpreter in tests). The hot chunk LIST is a
-        baked constant of the jitted step — recalibration replaces it and
-        bumps _plan_version, which retraces (same mechanism as the
-        continuation-cap trim).
+        kill switches; interpreter in tests).
+
+        The fold is a MULTI-LEVEL chunk-list cascade (`self._levels[r]`:
+        list of (chunk_list, keep) with the LAST level covering every
+        chunk): each level folds the rows whose pixel chunk appears in its
+        list, and routes the misses — compacted to the next level's static
+        `keep` budget — onward. Lists/budgets are baked constants of the
+        jitted step; recalibration (from a first-dispatch per-chunk row
+        histogram) replaces them and bumps _plan_version, which retraces.
+        Exactness NEVER depends on calibration: every row matches exactly
+        one list across the cascade, and a level whose live rows overflow
+        its keep budget diverts the whole level to a full-coverage fold
+        via lax.cond (slower, never wrong).
         """
         nlo = sandwich_mod.NLO
         self._n_chunks = [
@@ -236,145 +261,332 @@ class Engine:
         )
         if not self._sandwich_on:
             return
-        self._hot_nc = [min(self._SANDWICH_NHI, nc) for nc in self._n_chunks]
-        # Initial hot guess: the first NHI chunks (exactness never depends
-        # on the guess — misses route to the cold pass; calibration replaces
-        # the list with the top-mass chunks after the first dispatch).
-        self._hot_lists = [
-            jnp.arange(nhi, dtype=jnp.int32) for nhi in self._hot_nc
-        ]
-        self._cold_lists = [
-            jnp.arange(nc, dtype=jnp.int32) for nc in self._n_chunks
-        ]
-        # (keep_live, keep_cold) static row budgets per render; None
-        # keep_live = no live-compaction prepass (pre-calibration default:
-        # compact to 60% — probe-measured live fractions sit near 40%).
+        # Pre-calibration structure: [first-NHI chunks, full coverage]
+        # (single full-coverage level when the image is small). The hot
+        # GUESS is arbitrary — misses route onward; calibration replaces it
+        # with the measured top-row chunks.
         blk = accum_mod.BLOCK
-        self._sandwich_keep = []
-        for n_rows in self._rows_per_render:
-            kl = min(n_rows, -(-int(n_rows * 0.6) // blk) * blk)
+        self._levels = []
+        self._calibrating = True
+        for r, nc in enumerate(self._n_chunks):
+            n_rows = self._rows_per_render[r]
+            full = jnp.arange(nc, dtype=jnp.int32)
+            if nc <= self._SANDWICH_NHI:
+                self._levels.append([(full, None)])
+                continue
+            kl = min(
+                n_rows, self._SCATTER_VMEM_ROWS,
+                -(-int(n_rows * 0.6) // blk) * blk,
+            )
             kc = max(2048, -(-int(n_rows * 0.125) // 2048) * 2048)
-            self._sandwich_keep.append((kl, min(kc, n_rows)))
+            self._levels.append([
+                (jnp.arange(self._SANDWICH_NHI, dtype=jnp.int32), kl),
+                (full, min(kc, n_rows, self._SCATTER_VMEM_ROWS)),
+            ])
+        # accum layout: per render its level tiles, then (while calibrating)
+        # one [nc, NLO] row-count tile per multi-level render, then landed.
+        self._tile_slices = []
+        off = 0
+        for levels in self._levels:
+            self._tile_slices.append((off, off + len(levels)))
+            off += len(levels)
         self._settled = [
             np.zeros((p.height * p.width, 3), np.float64)
             for p in self.proj_plans
         ]
 
-    def _sandwich_fold_r(self, r, hot_tile, cold_tile, pix, w, wl_idx, tbl):
-        """One render's two-pass sandwich fold (inside jit).
+    def _count_tile_index(self, r: int):
+        """Index of render r's calibration count tile in self.accum, or
+        None (single-level renders need no histogram)."""
+        if not self._calibrating or len(self._levels[r]) == 1:
+            return None
+        base = self._tile_slices[-1][1]
+        idx = sum(
+            1 for q in range(r) if len(self._levels[q]) > 1
+        )
+        return base + idx
 
-        Returns (hot', cold', n_live, n_cold). Exact for ANY hot list /
-        keep budget: overflows fall to the uncompacted branches via
-        lax.cond (slower, never wrong)."""
+    def _sandwich_fold_r(self, r, tiles, pix, w, wl_idx, tbl, count_tile=None):
+        """One render's multi-level sandwich fold (inside jit).
+
+        tiles: one [NC_l, 3*128] tile per level. Returns (tiles',
+        count_tile', n_live, n_last) where n_last counts the rows entering
+        the LAST (full-coverage) level. Exact for ANY lists/budgets: a level
+        whose entrants overflow its compaction budget diverts the whole
+        entrant set to one full-coverage fold into the last tile via
+        lax.cond (slower, never wrong, and only for that batch).
+
+        count_tile (calibration dispatch only): a [NCHUNK, 128] per-pixel
+        LIVE-ROW histogram accumulated with a c_out=1 all-ones-basis pass;
+        recalibration derives per-chunk row counts (the fold's cost driver —
+        mass is irrelevant to cost) from it.
+        """
         K = self.k_pool
-        hot_list = self._hot_lists[r]
-        nhi = self._hot_nc[r]
-        nchunk = self._n_chunks[r]
-        valid = w > 0.0
-        n_live = jnp.sum(valid.astype(jnp.uint32))
-        if nhi >= nchunk:
-            # Single-pass: the hot list covers the whole image.
-            hot_tile, _m = sandwich_mod.sandwich_pass(
-                hot_tile, hot_list, pix, w, wl_idx, tbl, k_pool=K
-            )
-            return hot_tile, cold_tile, n_live, jnp.uint32(0)
-
-        keep_live, keep_cold = self._sandwich_keep[r]
-        cold_list = self._cold_lists[r]
-
-        def two_pass(p_in, w_in, wl_in, tiles):
-            ht, ct = tiles
-            ht, m = sandwich_mod.sandwich_pass(
-                ht, hot_list, p_in, w_in, wl_in, tbl, k_pool=K
-            )
-            cold_live = (w_in > 0.0) & (m == 0)
-            n_cold = jnp.sum(cold_live.astype(jnp.uint32))
-            (dp, dw, dwl), _cnt = accum_mod.compact_rows(
-                cold_live, [p_in, w_in, wl_in], p_in.shape[0]
-            )
-            kc = min(keep_cold, p_in.shape[0])
-
-            def cold_fast(c):
-                t, _ = sandwich_mod.sandwich_pass(
-                    c, cold_list, dp[:kc], dw[:kc], dwl[:kc], tbl, k_pool=K
-                )
-                return t
-
-            def cold_slow(c):
-                t, _ = sandwich_mod.sandwich_pass(
-                    c, cold_list, dp, dw, dwl, tbl, k_pool=K
-                )
-                return t
-
-            ct = jax.lax.cond(n_cold <= jnp.uint32(kc), cold_fast, cold_slow, ct)
-            return ht, ct, n_cold
-
-        if keep_live is not None and keep_live < pix.shape[0]:
-            (cp, cw_, cwl), _n = accum_mod.compact_rows(
-                valid, [pix, w, wl_idx], keep_live
-            )
-
-            def fast(tiles):
-                return two_pass(cp, cw_, cwl, tiles)
-
-            def slow(tiles):
-                return two_pass(pix, w, wl_idx, tiles)
-
-            ht, ct, n_cold = jax.lax.cond(
-                n_live <= jnp.uint32(keep_live), fast, slow,
-                (hot_tile, cold_tile),
-            )
-        else:
-            ht, ct, n_cold = two_pass(pix, w, wl_idx, (hot_tile, cold_tile))
-        return ht, ct, n_live, n_cold
-
-    def _sandwich_dense(self, r) -> np.ndarray:
-        """Host-side dense [P, 3] image: settled mass + current tiles."""
-        R = len(self.proj_plans)
         P = self.proj_plans[r].height * self.proj_plans[r].width
-        img = self._settled[r] + sandwich_mod.assemble_image(
+        shift = (2 * K).bit_length() - 1
+        levels = self._levels[r]
+        full_list = levels[-1][0]
+        tiles = list(tiles)
+
+        # One packed key per row (pixel | wl-pool idx; dead rows 0xFFFFFFFF)
+        # so every compaction carries TWO sort-free butterfly operands (key,
+        # w) instead of three (pix, w, wl).
+        key, wz = accum_mod.pack_spectral_keys(pix, w, wl_idx, P, K)
+        n_live = jnp.sum((wz > 0.0).astype(jnp.uint32))
+
+        def decode(k):
+            # Dead key 0xFFFFFFFF decodes to pix >= 2^(32-shift) > any
+            # chunk id: matches no list, w is 0 — doubly inert.
+            p = (k >> jnp.uint32(shift)).astype(jnp.int32)
+            wl = (k >> jnp.uint32(1)) & jnp.uint32(K - 1)
+            return p, wl
+
+        def level_pass(tile, clist, p_in, w_in, wl_in):
+            """One level's pass, split into <=SUB-chunk kernel calls over
+            ONE shared prep (VMEM bounds the [NC, RB] one-hot working set;
+            the prep relayouts are the per-call fixed cost)."""
+            nc = int(clist.shape[0])
+            sub = self._SANDWICH_SUB
+            prepped = sandwich_mod.prep_rows(p_in, w_in, wl_in)
+            if nc <= sub:
+                return sandwich_mod.sandwich_pass_prepped(
+                    tile, clist, prepped, tbl, k_pool=K
+                )
+            parts, matched = [], None
+            for k0 in range(0, nc, sub):
+                t, m = sandwich_mod.sandwich_pass_prepped(
+                    tile[k0 : k0 + sub], clist[k0 : k0 + sub], prepped, tbl,
+                    k_pool=K,
+                )
+                parts.append(t)
+                matched = m if matched is None else jnp.maximum(matched, m)
+            return jnp.concatenate(parts, axis=0), matched
+
+        if count_tile is not None:
+            ones_tbl = jnp.ones((K, 1), jnp.float32)
+            nc_full = int(full_list.shape[0])
+            sub = self._SANDWICH_SUB
+            cprep = sandwich_mod.prep_rows(
+                pix, (wz > 0.0).astype(jnp.float32), wl_idx
+            )
+            cparts = []
+            for k0 in range(0, nc_full, sub):
+                t, _ = sandwich_mod.sandwich_pass_prepped(
+                    count_tile[k0 : k0 + sub], full_list[k0 : k0 + sub],
+                    cprep, ones_tbl, k_pool=K,
+                )
+                cparts.append(t)
+            count_tile = (
+                jnp.concatenate(cparts, axis=0) if len(cparts) > 1 else cparts[0]
+            )
+
+        carry_key, carry_w = key, wz
+        n_in = n_live
+        n_last = n_live if len(levels) == 1 else None
+        for li, (clist, keep) in enumerate(levels):
+            is_last = li == len(levels) - 1
+            n_cur = carry_key.shape[0]
+            do_compact = keep is not None and keep < n_cur
+            if do_compact:
+                (ck, cw), _cnt = accum_mod.compact_valid(
+                    carry_key, [carry_w], keep
+                )
+            else:
+                ck, cw = carry_key, carry_w
+
+            if is_last:
+                def fold_compacted(t):
+                    p_c, wl_c = decode(ck)
+                    return level_pass(t, clist, p_c, cw, wl_c)[0]
+
+                if not do_compact:
+                    tiles[li] = fold_compacted(tiles[li])
+                else:
+                    def fold_full(t):
+                        p_f, wl_f = decode(carry_key)
+                        return level_pass(t, clist, p_f, carry_w, wl_f)[0]
+
+                    tiles[li] = jax.lax.cond(
+                        n_in <= jnp.uint32(keep), fold_compacted, fold_full,
+                        tiles[li],
+                    )
+                break
+
+            if not do_compact:
+                p_c, wl_c = decode(ck)
+                tiles[li], m = level_pass(tiles[li], clist, p_c, cw, wl_c)
+                carry_key = jnp.where(
+                    (m == 0) & (cw > 0.0), ck, jnp.uint32(0xFFFFFFFF)
+                )
+                carry_w = jnp.where(m == 0, cw, 0.0)
+            else:
+                def level_normal(args):
+                    t_l, t_last = args
+                    p_c, wl_c = decode(ck)
+                    t_l, m = level_pass(t_l, clist, p_c, cw, wl_c)
+                    nk = jnp.where(
+                        (m == 0) & (cw > 0.0), ck, jnp.uint32(0xFFFFFFFF)
+                    )
+                    nw = jnp.where(m == 0, cw, 0.0)
+                    return t_l, t_last, nk, nw
+
+                def level_overflow(args):
+                    # Entrants overflow the budget: fold them ALL, exactly,
+                    # into the full-coverage last tile and end the cascade
+                    # for this batch (carry all-dead).
+                    t_l, t_last = args
+                    p_f, wl_f = decode(carry_key)
+                    t_last, _ = level_pass(
+                        t_last, full_list, p_f, carry_w, wl_f
+                    )
+                    return (
+                        t_l, t_last,
+                        jnp.full((keep,), 0xFFFFFFFF, jnp.uint32),
+                        jnp.zeros((keep,), cw.dtype),
+                    )
+
+                tiles[li], tiles[-1], carry_key, carry_w = jax.lax.cond(
+                    n_in <= jnp.uint32(keep), level_normal, level_overflow,
+                    (tiles[li], tiles[-1]),
+                )
+            n_in = jnp.sum((carry_w > 0.0).astype(jnp.uint32))
+            if li == len(levels) - 2:
+                n_last = n_in
+        return tiles, count_tile, n_live, n_last
+
+    def _sandwich_dense64(self, r) -> np.ndarray:
+        """Host-side dense [P, 3] float64 image: settled mass + level tiles."""
+        P = self.proj_plans[r].height * self.proj_plans[r].width
+        s0, s1 = self._tile_slices[r]
+        return self._settled[r] + sandwich_mod.assemble_image(
             [
-                (self.accum[r], self._hot_lists[r]),
-                (self.accum[R + r], self._cold_lists[r]),
+                (self.accum[s0 + li], clist)
+                for li, (clist, _keep) in enumerate(self._levels[r])
             ],
             P,
             3,
         )
-        return img.astype(np.float32)
 
-    def _sandwich_recalibrate(self, live_avg) -> None:
-        """Replace hot lists with the measured top-mass chunks; settle the
-        current tiles host-side; trim the static row budgets."""
+    def _sandwich_dense(self, r) -> np.ndarray:
+        return self._sandwich_dense64(r).astype(np.float32)
+
+    def _sandwich_plan_levels(self, nc, n_rows, live_rows, rows_per_chunk):
+        """Choose the level cascade from the measured per-chunk row counts.
+
+        Enumerates (NC0, NC1?) candidates and minimizes the measured cost
+        model (_C_ROW/_C_CHUNK/_C_PACK): cost of a level = static budget
+        rows x (row cost + chunks-listed cost) + its compaction. Returns
+        [(chunk_list, keep)] with a full-coverage last level."""
+        blk = accum_mod.BLOCK
+
+        def ceil_to(x, m):
+            return -(-int(x) // m) * m
+
+        order = np.argsort(rows_per_chunk)[::-1]
+        prefix = np.concatenate([[0.0], np.cumsum(rows_per_chunk[order])])
+        cap = self._SCATTER_VMEM_ROWS
+        keep0 = min(n_rows, max(blk, ceil_to(live_rows * 1.15, blk)))
+        if keep0 > 0.75 * n_rows or keep0 > cap:
+            # Compaction doesn't pay (mostly-live rows) or would fall off
+            # the VMEM scatter path: run level 0 on the raw rows.
+            keep0 = None
+
+        def level_cost(keep, ncj):
+            rows = n_rows if keep is None else keep
+            n_sub = -(-ncj // self._SANDWICH_SUB)
+            return (
+                self._C_PREP * rows
+                + n_sub * (self._C_SUB + self._C_ROW * rows)
+            )
+
+        best = None
+        for nc0 in (128, 256):
+            if nc0 >= nc:
+                continue
+            rows1 = max(0.0, live_rows - prefix[min(nc0, len(order))])
+            for nc1 in (0, 256, 512):
+                if nc1 and nc0 + nc1 >= nc:
+                    continue
+                plan = [(nc0, keep0)]
+                if nc1:
+                    keep1 = min(
+                        n_rows, cap, max(blk, ceil_to(rows1 * 1.3, blk))
+                    )
+                    rows2 = max(
+                        0.0, live_rows - prefix[min(nc0 + nc1, len(order))]
+                    )
+                    keep2 = min(
+                        n_rows, cap, max(2048, ceil_to(rows2 * 1.5, 2048))
+                    )
+                    plan += [(nc1, keep1), (nc, keep2)]
+                else:
+                    keep1 = min(
+                        n_rows, cap, max(2048, ceil_to(rows1 * 1.5, 2048))
+                    )
+                    plan += [(nc, keep1)]
+                cost = 0.0 if keep0 is None else self._C_PACK * n_rows
+                prev = n_rows if keep0 is None else keep0
+                for j, (ncj, keepj) in enumerate(plan):
+                    if j > 0:
+                        cost += self._C_PACK * prev
+                        prev = keepj
+                    cost += level_cost(keepj, ncj)
+                if best is None or cost < best[0]:
+                    best = (cost, plan)
+
+        _cost, plan = best
+        levels = []
+        covered = 0
+        for j, (ncj, keepj) in enumerate(plan):
+            if j == len(plan) - 1:
+                clist = jnp.arange(nc, dtype=jnp.int32)
+            else:
+                top = order[covered : covered + ncj]
+                covered += ncj
+                clist = jnp.asarray(np.sort(top).astype(np.int32))
+            levels.append((clist, None if keepj is None else int(keepj)))
+        return levels
+
+    def _sandwich_recalibrate(self, live_avg, n_steps: int) -> None:
+        """Re-plan the level cascade from the first dispatch's per-chunk
+        row histogram; settle the current tiles host-side; drop the count
+        tiles (calibration is one-shot)."""
         R = len(self.proj_plans)
         nlo = sandwich_mod.NLO
-        blk = accum_mod.BLOCK
-        new_keep = []
         for r in range(R):
-            img = self._sandwich_dense(r)
-            self._settled[r] = img.astype(np.float64)
-            nhi, nchunk = self._hot_nc[r], self._n_chunks[r]
-            if nhi < nchunk:
-                P = img.shape[0]
-                pad = nchunk * nlo - P
-                mass = np.pad(img.sum(axis=1), (0, pad)).reshape(nchunk, nlo)
-                top = np.argsort(mass.sum(axis=1))[::-1][:nhi]
-                self._hot_lists[r] = jnp.asarray(
-                    np.sort(top).astype(np.int32)
+            self._settled[r] = self._sandwich_dense64(r)
+        new_levels = []
+        for r in range(R):
+            nc = self._n_chunks[r]
+            ci = self._count_tile_index(r)
+            if ci is None:
+                new_levels.append(self._levels[r])
+                continue
+            counts = np.asarray(self.accum[ci], np.float64)   # [nc, NLO]
+            rows_per_chunk = counts.sum(axis=1) / max(1, n_steps)
+            new_levels.append(
+                self._sandwich_plan_levels(
+                    nc, self._rows_per_render[r],
+                    float(live_avg[r]), rows_per_chunk,
                 )
-            n_rows = self._rows_per_render[r]
-            n_live_avg, n_cold_avg = live_avg[r], live_avg[R + r]
-            kl = -(-int(n_live_avg * 1.15) // blk) * blk
-            kl = min(n_rows, max(blk, kl))
-            kl = kl if kl <= 0.75 * n_rows else None
-            kc = -(-int(max(n_cold_avg * 1.5, 2048)) // 2048) * 2048
-            new_keep.append((kl, min(kc, n_rows)))
-        self._sandwich_keep = new_keep
-        # Zero the device tiles (their mass now lives in _settled) and
-        # retrace with the new baked lists/budgets.
-        R_ = len(self.proj_plans)
-        self.accum = tuple(
-            jnp.zeros_like(a) for a in self.accum[: 2 * R_]
-        ) + (self.accum[-1],)
+            )
+        self._levels = new_levels
+        self._calibrating = False
+        # Rebuild accumulators in the new layout (mass lives in _settled
+        # now; landed weights carry over) and retrace with the new lists.
+        self._tile_slices = []
+        off = 0
+        for levels in self._levels:
+            self._tile_slices.append((off, off + len(levels)))
+            off += len(levels)
+        landed = self.accum[-1]
+        accum = []
+        for r, levels in enumerate(self._levels):
+            for clist, _keep in levels:
+                accum.append(
+                    jnp.zeros((int(clist.shape[0]), 3 * nlo), jnp.float32)
+                )
+        self.accum = tuple(accum) + (landed,)
         self._plan_version += 1
 
     # ------------------------------------------------------------------
@@ -621,10 +833,16 @@ class Engine:
         if getattr(self, "_sandwich_on", False):
             nlo = sandwich_mod.NLO
             accum = [
-                jnp.zeros((nhi, 3 * nlo), jnp.float32) for nhi in self._hot_nc
-            ] + [
-                jnp.zeros((nc, 3 * nlo), jnp.float32) for nc in self._n_chunks
+                jnp.zeros((int(clist.shape[0]), 3 * nlo), jnp.float32)
+                for levels in self._levels
+                for clist, _keep in levels
             ]
+            if self._calibrating:
+                accum += [
+                    jnp.zeros((self._n_chunks[r], nlo), jnp.float32)
+                    for r in range(len(self.proj_plans))
+                    if len(self._levels[r]) > 1
+                ]
             self._settled = [
                 np.zeros((p.height * p.width, 3), np.float64)
                 for p in self.proj_plans
@@ -1107,22 +1325,27 @@ class Engine:
         basis_fn = partial(self._xyz_basis, batch_counter=batch_counter)
         if self._sandwich_on:
             # MXU sandwich fold (core/pallas_sandwich.py): no sort, no
-            # markers, no scan — a hot-chunk matmul pass over all rows plus
-            # a full-chunk pass over the compacted misses.
+            # markers, no scan — a cascade of chunk-list matmul passes,
+            # each over the compacted misses of the one before.
             R = len(self.proj_plans)
             tbl = basis_fn(jnp.arange(self.k_pool, dtype=jnp.uint32))
-            hot = list(accum[:R])
-            cold = list(accum[R : 2 * R])
-            lives, colds = [], []
+            out = list(accum[:-1])
+            lives, lasts = [], []
             for r, (pix, w, wl_idx, _mask) in enumerate(contribs):
-                hot[r], cold[r], n_live, n_cold = self._sandwich_fold_r(
-                    r, hot[r], cold[r], pix, w, wl_idx, tbl
+                s0, s1 = self._tile_slices[r]
+                ci = self._count_tile_index(r)
+                tiles, ct, n_live, n_last = self._sandwich_fold_r(
+                    r, out[s0:s1], pix, w, wl_idx, tbl,
+                    count_tile=None if ci is None else out[ci],
                 )
+                out[s0:s1] = tiles
+                if ci is not None:
+                    out[ci] = ct
                 lives.append(n_live)
-                colds.append(n_cold)
+                lasts.append(n_last)
             return (
-                tuple(hot) + tuple(cold) + (landed,), dropped_w, seg_count,
-                jnp.stack(lives + colds), cont_demand,
+                tuple(out) + (landed,), dropped_w, seg_count,
+                jnp.stack(lives + lasts), cont_demand,
             )
         xyz_acc = list(accum[:-1])
         live_counts = []
@@ -1354,7 +1577,7 @@ class Engine:
 
         if self._sandwich_on:
             self._sandwich_recalibrate(
-                np.asarray(live, np.float64) / max(1, n_steps)
+                np.asarray(live, np.float64) / max(1, n_steps), n_steps
             )
             return
         if not self._compact_enabled:
