@@ -120,8 +120,10 @@ def main() -> int:
         "platform": platform,
         "max_hits": 7,
         # Which accumulation fold produced this number (round-2 lesson: a
-        # silent runtime fallback benched the sort fold unattributed).
+        # silent runtime fallback benched the sort fold unattributed), and
+        # why the calibrated dispatch chose it.
         "fold": engine.fold_kind,
+        "fold_decision": engine.fold_decision,
     }))
     return 0
 

@@ -57,6 +57,7 @@ from jax.experimental import pallas as pl
 
 NLO = 128          # lo width = lane count; chunk = pix // NLO
 DEFAULT_RB = 2048  # rows per grid step
+SUB_CHUNKS = 256   # chunk-list slice per in-kernel matmul ([sub, RB] one-hot)
 
 # Test hook (mirrors pallas_ops.INTERPRET): run through the Pallas
 # interpreter on CPU and treat the kernel as available.
@@ -140,7 +141,7 @@ def _kernel(chunks_ref, pixc_ref, pixr_ref, w_ref, wl_ref, tbl_ref, out_ref,
 
 
 def _kernel_lane(chunks_ref, pixc_ref, w_ref, wl_ref, tbl_ref, out_ref,
-                 matched_ref, *, nc, rb, k_pool, c_out, precise):
+                 matched_ref, *, nc, rb, k_pool, c_out, precise, sub):
     """Lane-major kernel: EVERY per-row operand is [1, RB] (rows in lanes).
 
     The [RB, 1] sublane-major operands of `_kernel` force XLA to relayout
@@ -149,6 +150,13 @@ def _kernel_lane(chunks_ref, pixc_ref, w_ref, wl_ref, tbl_ref, out_ref,
     dominate the pass. Here the second one-hot factor is built TRANSPOSED
     ([C*NLO, RB]) and the product contracts both operands on the lane dim
     (A @ B^T), which the MXU supports natively.
+
+    Lists wider than `sub` chunks loop in-kernel over `sub`-chunk slices
+    of the (whole, VMEM-resident) chunk list and out tile: the transposed
+    factor is built ONCE per row block and every slice reuses it, so wide
+    lists pay only the unavoidable per-chunk compare + MXU FLOPs, not a
+    rebuilt factor per slice (the previous caller-side sub-pass splitting
+    repaid the whole VPU prologue per slice).
     """
     i = pl.program_id(0)
 
@@ -159,8 +167,6 @@ def _kernel_lane(chunks_ref, pixc_ref, w_ref, wl_ref, tbl_ref, out_ref,
     pixc = pixc_ref[...]                                   # [1, RB] i32
     w = w_ref[...]                                         # [1, RB] f32
     wl = wl_ref[...]                                       # [1, RB] i32
-    cl = chunks_ref[...]                                   # [NC, 1] i32
-    cl = jnp.where(cl < 0, jnp.int32(-0x40000000), cl)
 
     # Per-row XYZ basis, transposed: [C, RB] = tblT [C, K] @ onehot [K, RB].
     ohwlT = (
@@ -174,33 +180,47 @@ def _kernel_lane(chunks_ref, pixc_ref, w_ref, wl_ref, tbl_ref, out_ref,
     valsT = valsT * w
 
     hi = pixc // NLO                                       # [1, RB]
-    eq = cl == hi                                          # [NC, RB]
-    ohT = eq.astype(jnp.bfloat16)
-    matched_ref[...] = jnp.max(eq.astype(jnp.int32), axis=0, keepdims=True)
-
     lo = pixc - hi * NLO                                   # [1, RB]
     ohloT = (
         jax.lax.broadcasted_iota(jnp.int32, (NLO, rb), 0) == lo
     ).astype(jnp.float32)                                  # [NLO, RB]
 
-    def accumulate(vT):
-        bmatT = jnp.concatenate(
+    def bmat_of(vT):
+        return jnp.concatenate(
             [
                 (ohloT * vT[c : c + 1, :]).astype(jnp.bfloat16)
                 for c in range(c_out)
             ],
             axis=0,
         )                                                  # [C*NLO, RB]
-        return jax.lax.dot_general(
-            ohT, bmatT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
+    bmats = []
     if precise:
         v_hi = valsT.astype(jnp.bfloat16).astype(jnp.float32)
-        out_ref[...] += accumulate(v_hi) + accumulate(valsT - v_hi)
+        bmats = [bmat_of(v_hi), bmat_of(valsT - v_hi)]
     else:
-        out_ref[...] += accumulate(valsT)
+        bmats = [bmat_of(valsT)]
+
+    m_acc = None
+    for k0 in range(0, nc, sub):
+        ncb = min(sub, nc - k0)
+        cl = chunks_ref[k0 : k0 + ncb, :]                  # [ncb, 1] i32
+        cl = jnp.where(cl < 0, jnp.int32(-0x40000000), cl)
+        eq = cl == hi                                      # [ncb, RB]
+        ohT = eq.astype(jnp.bfloat16)
+        m = jnp.max(eq.astype(jnp.int32), axis=0, keepdims=True)
+        m_acc = m if m_acc is None else jnp.maximum(m_acc, m)
+        acc = jax.lax.dot_general(
+            ohT, bmats[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if precise:
+            acc = acc + jax.lax.dot_general(
+                ohT, bmats[1], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[k0 : k0 + ncb, :] += acc
+    matched_ref[...] = m_acc
 
 
 # Kernel operand layout: "lane" = every per-row operand [1, N] (rows in
@@ -258,7 +278,7 @@ def sandwich_pass_prepped(tile, chunk_list, prepped, tbl, *, k_pool: int,
         grid = (n // rb,)
         kern = functools.partial(
             _kernel_lane, nc=nc, rb=rb, k_pool=k, c_out=c_out,
-            precise=precise,
+            precise=precise, sub=SUB_CHUNKS,
         )
         out, matched = pl.pallas_call(
             kern,
@@ -339,10 +359,12 @@ def sandwich_pass(tile, chunk_list, pix, w, wl_idx, tbl, *, k_pool: int,
     rows report their chunk like any other). Exact in the one-hot factors;
     `vals` rounds to bf16 unless precise=True (two-term split, ~f32).
 
-    Keep NC <= ~256: the [NC, RB] one-hot working set scales with NC and
-    past ~512 chunks the kernel spills VMEM (measured 2.7x slowdown at
-    NC=1024). Callers with wider lists split them into sub-passes over one
-    prep_rows result (engine _sandwich_level_pass).
+    Wide chunk lists are handled in-kernel: the one-hot compare + matmul
+    loop over SUB_CHUNKS-sized slices of the (VMEM-resident) list and out
+    tile, reusing the per-row transposed factor — so cost per row is
+    ~(prologue + NC compares + 6*C*NC*NLO/256 FLOPs), not a rebuilt
+    prologue per slice. The out tile [NC, C*128] f32 must fit VMEM
+    (NC <= ~4096).
     """
     prepped = prep_rows(pix, w, wl_idx, rb)
     return sandwich_pass_prepped(

@@ -192,6 +192,12 @@ class Engine:
         kind = "sandwich" if self._sandwich_on else self._resolved_accum_method()
         return kind + ("+degraded" if self._sandwich_degraded else "")
 
+    # Sort-fold cost model (same probe basis as the _C_* constants):
+    # lax.sort ~3.3 ms fixed + ~2.9 ns/row, segmented scan + extraction
+    # ~1.3 ns/row + ~1 ms. Used by the calibrated fold dispatch.
+    _C_SORT_FIX = 4.3
+    _C_SORT_ROW = 4.2e-6
+
     def _recompute_rows_per_render(self) -> None:
         # Static contribution-row count per render per batch.
         self._rows_per_render = [
@@ -214,16 +220,17 @@ class Engine:
     # measured scripts/probe_r3_fold.py) — compaction budgets must stay
     # under it.
     _SCATTER_VMEM_ROWS = 2_400_000
-    # Measured per-stage costs on v5e (scripts/probe_r3_fold.py, rb=2048):
-    # a level = one prep (pad + [1,N]/[N,1] relayouts) + ceil(NC/SUB)
-    # sub-passes, each VPU-floor-bound (~0.7 ns/row, flat in NC below SUB);
+    # Cost model on v5e (scripts/probe_r3_fold.py + kernel arithmetic):
+    # a level = one prep (pad + [1,N] relayouts) + per-row kernel cost
+    # (one-hot prologue + per-listed-chunk compare & MXU FLOPs; the kernel
+    # loops wide lists in-kernel, so the prologue is paid once);
     # butterfly compaction ~0.35 ns/input-row on the VMEM scatter path.
     # Used only to CHOOSE the level structure — exactness never depends on
     # them.
-    _C_PREP = 0.45e-6    # ms per row: per-level operand prep
-    _C_ROW = 0.70e-6     # ms per row per sub-pass
-    _C_SUB = 0.25        # ms fixed per sub-pass
-    _C_PACK = 0.35e-6    # ms per input row, 1-payload butterfly + scatter
+    _C_PREP = 0.45e-6     # ms per row: per-level operand prep
+    _C_BASE = 0.80e-6     # ms per row: kernel prologue (bmat build etc.)
+    _C_CHUNKROW = 6e-9    # ms per row per listed chunk (compare + MXU)
+    _C_PACK = 0.35e-6     # ms per input row, 1-payload butterfly + scatter
 
     def _sandwich_setup(self) -> None:
         """Decide whether the MXU sandwich fold (core/pallas_sandwich.py)
@@ -246,12 +253,22 @@ class Engine:
         its keep budget diverts the whole level to a full-coverage fold
         via lax.cond (slower, never wrong).
         """
+        from ice_halo_sim_tpu.utils import env_knobs
+
         nlo = sandwich_mod.NLO
         self._n_chunks = [
             -(-(p.height * p.width) // nlo) for p in self.proj_plans
         ]
+        # Fold dispatch: "auto" calibrates between the sandwich cascade and
+        # the sort fold from the measured per-chunk row histogram (spread
+        # scenes favor the sort fold — cold-row MXU cost scales with image
+        # coverage; concentrated/filtered scenes favor the sandwich);
+        # "sandwich"/"sort" pin it.
+        self._fold_choice = str(env_knobs.get("IHT_FOLD", "auto")).lower()
+        self.fold_decision = "startup"
         self._sandwich_on = (
-            self._resolved_accum_method() == "sort"
+            self._fold_choice != "sort"
+            and self._resolved_accum_method() == "sort"
             and self.spectral_ok
             and not self.color_classes
             and self.k_pool <= 128
@@ -342,42 +359,17 @@ class Engine:
             return p, wl
 
         def level_pass(tile, clist, p_in, w_in, wl_in):
-            """One level's pass, split into <=SUB-chunk kernel calls over
-            ONE shared prep (VMEM bounds the [NC, RB] one-hot working set;
-            the prep relayouts are the per-call fixed cost)."""
-            nc = int(clist.shape[0])
-            sub = self._SANDWICH_SUB
+            """One level's pass (the kernel loops wide lists in-kernel)."""
             prepped = sandwich_mod.prep_rows(p_in, w_in, wl_in)
-            if nc <= sub:
-                return sandwich_mod.sandwich_pass_prepped(
-                    tile, clist, prepped, tbl, k_pool=K
-                )
-            parts, matched = [], None
-            for k0 in range(0, nc, sub):
-                t, m = sandwich_mod.sandwich_pass_prepped(
-                    tile[k0 : k0 + sub], clist[k0 : k0 + sub], prepped, tbl,
-                    k_pool=K,
-                )
-                parts.append(t)
-                matched = m if matched is None else jnp.maximum(matched, m)
-            return jnp.concatenate(parts, axis=0), matched
+            return sandwich_mod.sandwich_pass_prepped(
+                tile, clist, prepped, tbl, k_pool=K
+            )
 
         if count_tile is not None:
             ones_tbl = jnp.ones((K, 1), jnp.float32)
-            nc_full = int(full_list.shape[0])
-            sub = self._SANDWICH_SUB
-            cprep = sandwich_mod.prep_rows(
-                pix, (wz > 0.0).astype(jnp.float32), wl_idx
-            )
-            cparts = []
-            for k0 in range(0, nc_full, sub):
-                t, _ = sandwich_mod.sandwich_pass_prepped(
-                    count_tile[k0 : k0 + sub], full_list[k0 : k0 + sub],
-                    cprep, ones_tbl, k_pool=K,
-                )
-                cparts.append(t)
-            count_tile = (
-                jnp.concatenate(cparts, axis=0) if len(cparts) > 1 else cparts[0]
+            count_tile, _ = sandwich_mod.sandwich_pass(
+                count_tile, full_list, pix,
+                (wz > 0.0).astype(jnp.float32), wl_idx, ones_tbl, k_pool=K,
             )
 
         carry_key, carry_w = key, wz
@@ -493,10 +485,8 @@ class Engine:
 
         def level_cost(keep, ncj):
             rows = n_rows if keep is None else keep
-            n_sub = -(-ncj // self._SANDWICH_SUB)
-            return (
-                self._C_PREP * rows
-                + n_sub * (self._C_SUB + self._C_ROW * rows)
+            return rows * (
+                self._C_PREP + self._C_BASE + ncj * self._C_CHUNKROW
             )
 
         best = None
@@ -534,7 +524,7 @@ class Engine:
                 if best is None or cost < best[0]:
                     best = (cost, plan)
 
-        _cost, plan = best
+        cost, plan = best
         levels = []
         covered = 0
         for j, (ncj, keepj) in enumerate(plan):
@@ -545,31 +535,71 @@ class Engine:
                 covered += ncj
                 clist = jnp.asarray(np.sort(top).astype(np.int32))
             levels.append((clist, None if keepj is None else int(keepj)))
-        return levels
+        return levels, cost
 
-    def _sandwich_recalibrate(self, live_avg, n_steps: int) -> None:
+    def _sandwich_recalibrate(self, live_avg, n_steps: int) -> bool:
         """Re-plan the level cascade from the first dispatch's per-chunk
         row histogram; settle the current tiles host-side; drop the count
-        tiles (calibration is one-shot)."""
+        tiles (calibration is one-shot).
+
+        Fold dispatch: compares the planned cascade's modeled per-batch
+        cost against the sort fold's on the same measured live rows. When
+        the sort fold wins (spread scenes) and IHT_FOLD is "auto", the
+        engine DEMOTES to the sort fold: settled tile mass moves into
+        dense accumulators and the step retraces. Returns True if demoted
+        (caller then runs the sort-fold compaction calibration)."""
         R = len(self.proj_plans)
         nlo = sandwich_mod.NLO
         for r in range(R):
             self._settled[r] = self._sandwich_dense64(r)
         new_levels = []
+        sandwich_ms = 0.0
+        sort_ms = 0.0
         for r in range(R):
             nc = self._n_chunks[r]
+            n_rows = self._rows_per_render[r]
+            live = float(live_avg[r])
             ci = self._count_tile_index(r)
             if ci is None:
                 new_levels.append(self._levels[r])
-                continue
-            counts = np.asarray(self.accum[ci], np.float64)   # [nc, NLO]
-            rows_per_chunk = counts.sum(axis=1) / max(1, n_steps)
-            new_levels.append(
-                self._sandwich_plan_levels(
-                    nc, self._rows_per_render[r],
-                    float(live_avg[r]), rows_per_chunk,
+                sandwich_ms += n_rows * (self._C_PREP + self._C_BASE
+                                         + nc * self._C_CHUNKROW)
+            else:
+                counts = np.asarray(self.accum[ci], np.float64)  # [nc, NLO]
+                rows_per_chunk = counts.sum(axis=1) / max(1, n_steps)
+                levels, cost = self._sandwich_plan_levels(
+                    nc, n_rows, live, rows_per_chunk,
                 )
+                new_levels.append(levels)
+                sandwich_ms += cost
+            keep_s = min(n_rows, max(1.0, live * 1.15))
+            sort_ms += (
+                self._C_PACK * n_rows
+                + self._C_SORT_FIX
+                + (keep_s + nc * nlo) * self._C_SORT_ROW
             )
+        if self._fold_choice == "auto" and sort_ms < sandwich_ms:
+            self.fold_decision = (
+                f"calibrated: sort fold (modeled sort {sort_ms:.1f} ms < "
+                f"sandwich {sandwich_ms:.1f} ms per batch)"
+            )
+            from ice_halo_sim_tpu.utils.log import get_logger
+
+            get_logger("engine").info(self.fold_decision)
+            dense = [
+                jnp.asarray(self._sandwich_dense(r)) for r in range(R)
+            ]
+            self._sandwich_on = False
+            self._calibrating = False
+            self.accum = tuple(dense) + (self.accum[-1],)
+            self._plan_version += 1
+            return True
+        self.fold_decision = (
+            f"calibrated: sandwich cascade (modeled sandwich "
+            f"{sandwich_ms:.1f} ms <= sort {sort_ms:.1f} ms per batch)"
+            if self._fold_choice == "auto"
+            else f"pinned by IHT_FOLD={self._fold_choice}"
+        )
         self._levels = new_levels
         self._calibrating = False
         # Rebuild accumulators in the new layout (mass lives in _settled
@@ -588,6 +618,7 @@ class Engine:
                 )
         self.accum = tuple(accum) + (landed,)
         self._plan_version += 1
+        return False
 
     # ------------------------------------------------------------------
     # Plan building (host)
@@ -1576,10 +1607,14 @@ class Engine:
                 self._plan_version += 1
 
         if self._sandwich_on:
-            self._sandwich_recalibrate(
+            demoted = self._sandwich_recalibrate(
                 np.asarray(live, np.float64) / max(1, n_steps), n_steps
             )
-            return
+            if not demoted:
+                return
+            # Fold dispatch demoted to the sort fold: fall through so its
+            # dead-row compaction prepass gets calibrated from the same
+            # live counts (live[:R] is per-render live rows in both modes).
         if not self._compact_enabled:
             return
         if self._resolved_accum_method() != "sort":

@@ -27,6 +27,9 @@ Knobs (all optional; unset means "use the code default"):
                      initial ray weight); 0 disables.
   IHT_SANDWICH       "0"/"off" disables the matmul-sandwich MXU fold (the
                      renderer falls back to the sort fold).
+  IHT_FOLD           fold dispatch: "auto" (default — calibrate between the
+                     sandwich cascade and the sort fold from the measured
+                     per-chunk row histogram), "sandwich", or "sort".
 """
 
 from __future__ import annotations
@@ -86,6 +89,13 @@ KNOBS: Dict[str, Knob] = {
             "IHT_SANDWICH",
             "disable ('0'/'off') the matmul-sandwich MXU fold; the "
             "renderer falls back to the sort fold (the pre-round-2 path)",
+            str,
+        ),
+        Knob(
+            "IHT_FOLD",
+            "fold dispatch: 'auto' (calibrated sandwich-vs-sort choice "
+            "from the measured per-chunk row histogram), 'sandwich', or "
+            "'sort'",
             str,
         ),
         Knob(
