@@ -32,6 +32,24 @@ SLAB_EPS = optics.SLAB_EPS
 _BIG = 1e30
 
 
+class FrozenChoices(NamedTuple):
+    """The trace's discrete decisions for one (seed, params) base point.
+
+    Frozen-selection finite differences (BASELINE config 2): re-running the
+    trace at perturbed params with these choices REUSED removes every
+    discontinuous branch (entry-triangle pick, slab argmin face, TIR flip,
+    emit gates) from the comparison, so autodiff of the frozen estimator
+    must match FD tightly — the transport gradient pinned, the boundary
+    terms a separately measurable residual."""
+
+    entry_sel: jnp.ndarray   # [B] int32 entry sub-triangle index
+    entry_ok: jnp.ndarray    # [B] bool
+    faces: jnp.ndarray       # [H-1, B] int32 slab argmin face slot
+    alive: jnp.ndarray       # [H-1, B] bool lane-alive after the hit
+    is_tir: jnp.ndarray      # [H-1, B] bool internal TIR decision
+    emit_ok: jnp.ndarray     # [H-1, B] bool refracted exit emitted
+
+
 class SoAExits(NamedTuple):
     """Slot-major exits from one scattering layer.
 
@@ -106,14 +124,19 @@ def _expand_cols(a, setting_blocks, B):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
-def _fresnel_split_soa(dx, dy, dz, nx, ny, nz, w, n_ior):
+def _fresnel_split_soa(dx, dy, dz, nx, ny, nz, w, n_ior, tir_in=None):
     """optics.fresnel_split on component arrays (HitSurface,
-    optics.cpp:18-53). Returns (reflect d, refract d, w_r, w_t, is_tir)."""
+    optics.cpp:18-53). Returns (reflect d, refract d, w_r, w_t, is_tir).
+
+    tir_in: optional frozen TIR decision (frozen-selection FD — gradients
+    of the estimator with the base point's discrete branches reused). With
+    a frozen non-TIR branch at actually-TIR-perturbed params, delta clamps
+    to 0 and the refracted weight degrades to 0 smoothly."""
     cos_theta = dx * nx + dy * ny + dz * nz
     rr = jnp.where(cos_theta > 0, n_ior, 1.0 / n_ior)
     cos_sq = cos_theta * cos_theta
     delta = (1.0 - rr * rr) / jnp.maximum(cos_sq, 1e-20) + rr * rr
-    is_tir = delta <= 0.0
+    is_tir = (delta <= 0.0) if tir_in is None else tir_in
     delta_safe = jnp.where(is_tir, 1.0, jnp.maximum(delta, 0.0))
     r_ratio = jnp.where(is_tir, 1.0, optics.reflect_ratio(delta_safe, rr))
     w_reflect = r_ratio * w
@@ -130,23 +153,28 @@ def _fresnel_split_soa(dx, dy, dz, nx, ny, nz, w, n_ior):
     return (rx, ry, rz), (tx, ty, tz), w_reflect, w_refract, is_tir
 
 
-def _entry_soa(seed, idx, dx, dy, dz, tris_cols, score_grad: bool):
+def _entry_soa(seed, idx, dx, dy, dz, tris_cols, score_grad: bool,
+               sel_in=None):
     """sampling.sample_entry in [T, B] layout (same RNG slots 10-12).
 
     tris_cols: dict of [T, B]-broadcastable arrays (chx..., v0x..., e1*,
-    e2*, face). Returns (px, py, pz, f0, has_entry, log_p)."""
+    e2*, face). Returns (px, py, pz, f0, has_entry, log_p, sel).
+    sel_in: optional frozen triangle selection (frozen-selection FD)."""
     chx, chy, chz = tris_cols["chx"], tris_cols["chy"], tris_cols["chz"]
     w = jnp.maximum(
         -(chx * dx[None, :] + chy * dy[None, :] + chz * dz[None, :]), 0.0
     )                                                       # [T, B]
     total = jnp.sum(w, axis=0)
     has_entry = total > 0.0
-    cdf = jnp.cumsum(w, axis=0)
-    target = rng.uniform(seed, idx, 10) * total
     T = w.shape[0]
-    sel = jnp.clip(
-        jnp.sum((cdf <= target[None, :]).astype(jnp.int32), axis=0), 0, T - 1
-    )
+    if sel_in is None:
+        cdf = jnp.cumsum(w, axis=0)
+        target = rng.uniform(seed, idx, 10) * total
+        sel = jnp.clip(
+            jnp.sum((cdf <= target[None, :]).astype(jnp.int32), axis=0), 0, T - 1
+        )
+    else:
+        sel = sel_in
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, w.shape, 0) == sel[None, :]
     ).astype(jnp.float32)
@@ -174,7 +202,7 @@ def _entry_soa(seed, idx, dx, dy, dz, tris_cols, score_grad: bool):
             jnp.log(jnp.where(w_sel > 0, w_sel, 1.0)) - jnp.log(safe_total),
             0.0,
         )
-    return px, py, pz, f0, has_entry, log_p
+    return px, py, pz, f0, has_entry, log_p, sel
 
 
 def trace_layer_soa(
@@ -188,9 +216,14 @@ def trace_layer_soa(
     max_hits: int,
     setting_blocks: Optional[tuple] = None,
     score_grad: bool = False,
+    frozen: Optional[FrozenChoices] = None,
+    record: bool = False,
 ) -> SoAExits:
     """SoA mirror of trace.trace_layer (shared-geometry K == 1 or blocked
-    per-setting pools). All hot-loop arrays are [B] / [NF, B] / [T, B]."""
+    per-setting pools). All hot-loop arrays are [B] / [NF, B] / [T, B].
+
+    record=True additionally returns the FrozenChoices made; frozen=...
+    REUSES a prior recording's discrete decisions (frozen-selection FD)."""
     B = ray_idx.shape[0]
     entry_seed = jnp.uint32(seed) ^ rng.NONCE_ENTRY
     K = pool.plane_n.shape[0]
@@ -257,9 +290,12 @@ def trace_layer_soa(
             "face": ex(pool.tri_face.astype(f32)),
         }
 
-    px, py, pz, f0, entry_ok, log_p = _entry_soa(
-        entry_seed, ray_idx, dx, dy, dz, tris_cols, score_grad
+    px, py, pz, f0, entry_ok, log_p, entry_sel = _entry_soa(
+        entry_seed, ray_idx, dx, dy, dz, tris_cols, score_grad,
+        sel_in=None if frozen is None else frozen.entry_sel,
     )
+    if frozen is not None:
+        entry_ok = frozen.entry_ok
 
     w = jnp.where(entry_ok, w0, 0.0)
     if score_grad:
@@ -291,27 +327,40 @@ def trace_layer_soa(
     # Incremental plane distances of the entry point (dist' = dist + t*denom).
     dist0 = px[None, :] * nx + py[None, :] * ny + pz[None, :] * nz + pd  # [NF, B]
 
-    def bounce(carry, _):
+    def bounce(carry, xs):
         dist, cx, cy, cz, w, prev_oh = carry
         denom = cx[None, :] * nx + cy[None, :] * ny + cz[None, :] * nz
         t_face = -dist / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
-        candidate = (denom > SLAB_EPS) & present & (prev_oh < 0.5)
-        t_masked = jnp.where(candidate, t_face, _BIG)
-        fi = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-        t = jnp.min(t_masked, axis=0)
-        found = (t < _BIG * 0.5) & (t > -SLAB_EPS)
-        alive = found & (w > 0.0)
-
-        oh = (face_iota == fi[None, :]).astype(f32)
+        if frozen is None:
+            candidate = (denom > SLAB_EPS) & present & (prev_oh < 0.5)
+            t_masked = jnp.where(candidate, t_face, _BIG)
+            fi = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+            t = jnp.min(t_masked, axis=0)
+            found = (t < _BIG * 0.5) & (t > -SLAB_EPS)
+            alive = found & (w > 0.0)
+            oh = (face_iota == fi[None, :]).astype(f32)
+            tir_in = None
+        else:
+            fz_face, fz_alive, fz_tir, _fz_emit = xs
+            fi = fz_face
+            alive = fz_alive
+            oh = (face_iota == fi[None, :]).astype(f32)
+            # t of the FROZEN face (differentiable in geometry), not argmin.
+            t = jnp.sum(oh * t_face, axis=0)
+            tir_in = fz_tir
         fn = oh_num(oh)
         nfx, nfy, nfz = oh_vec(oh)
 
         dist = jnp.where(alive[None, :], dist + t[None, :] * denom, dist)
         (rx, ry, rz), (tx, ty, tz), w_r, w_t, is_tir = _fresnel_split_soa(
-            cx, cy, cz, nfx, nfy, nfz, w, n_ior
+            cx, cy, cz, nfx, nfy, nfz, w, n_ior, tir_in=tir_in
         )
         cos_exit = tx * nfx + ty * nfy + tz * nfz
-        emit_w = jnp.where(alive & ~is_tir & (cos_exit > 0.0), w_t, 0.0)
+        if frozen is None:
+            emit_ok = alive & ~is_tir & (cos_exit > 0.0)
+        else:
+            emit_ok = xs[3]
+        emit_w = jnp.where(emit_ok, w_t, 0.0)
         ex, ey, ez = rot_apply(rot, tx, ty, tz)
 
         cx = jnp.where(alive, rx, cx)
@@ -320,20 +369,34 @@ def trace_layer_soa(
         w = jnp.where(alive, w_r, 0.0)
         prev_oh = jnp.where(alive[None, :], oh, prev_oh)
         fn_rec = jnp.where(alive, fn, 0)
-        return (dist, cx, cy, cz, w, prev_oh), (ex, ey, ez, emit_w, fn_rec)
+        ys = (ex, ey, ez, emit_w, fn_rec)
+        if record:
+            ys = ys + (fi, alive, is_tir, emit_ok)
+        return (dist, cx, cy, cz, w, prev_oh), ys
 
     carry = (dist0, tx, ty, tz, w_t, oh0)
     unroll = True if max_hits <= 16 else 4
-    _, (ys_x, ys_y, ys_z, ys_w, ys_fn) = jax.lax.scan(
-        bounce, carry, None, length=max_hits - 1, unroll=unroll
+    xs = None
+    if frozen is not None:
+        xs = (frozen.faces, frozen.alive, frozen.is_tir, frozen.emit_ok)
+    _, ys = jax.lax.scan(
+        bounce, carry, xs, length=max_hits - 1, unroll=unroll
     )
+    (ys_x, ys_y, ys_z, ys_w, ys_fn) = ys[:5]
 
     exit_dx = jnp.concatenate([e0x[None, :], ys_x], axis=0)   # [H, B]
     exit_dy = jnp.concatenate([e0y[None, :], ys_y], axis=0)
     exit_dz = jnp.concatenate([e0z[None, :], ys_z], axis=0)
     exit_w = jnp.concatenate([exit0_w[None, :], ys_w], axis=0)
     path = jnp.concatenate([fn0[None, :], ys_fn], axis=0)
-    return SoAExits(
+    exits = SoAExits(
         dx=exit_dx, dy=exit_dy, dz=exit_dz, w=exit_w, path=path,
         entry_ok=entry_ok,
     )
+    if record:
+        choices = FrozenChoices(
+            entry_sel=entry_sel, entry_ok=entry_ok,
+            faces=ys[5], alive=ys[6], is_tir=ys[7], emit_ok=ys[8],
+        )
+        return exits, choices
+    return exits

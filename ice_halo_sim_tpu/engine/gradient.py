@@ -72,7 +72,7 @@ def default_params(cfg: ProjectConfig) -> RenderParams:
 
 
 def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 << 15,
-                   seed: int = 1, max_hits: int = None):
+                   seed: int = 1, max_hits: int = None, frozen_mode: bool = False):
     """Build a jittable, differentiable params -> XYZ-image function.
 
     Scope: single scattering layer, single crystal setting, fixed-shape
@@ -80,6 +80,14 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
     and roll stay the config's uniform draws). Per-ray randomness is frozen
     by the seed, so gradients are of a FIXED Monte-Carlo estimate (common
     random numbers), which is what a finite-difference check needs.
+
+    frozen_mode=True returns (render_frozen, record) instead:
+    record(params) -> (img, FrozenChoices) captures the base point's
+    discrete decisions; render_frozen(params, choices) re-renders with
+    them REUSED, so autodiff-vs-FD comparisons see only the smooth
+    transport (frozen-selection FD — the score term is off, and the
+    boundary terms of argmin-face/TIR switches are excluded by
+    construction).
     """
     pplan = projection.make_proj_plan(cfg.renders[render_idx])
     wl = jnp.asarray([w.wl for w in cfg.light.spectrum], jnp.float32)
@@ -90,8 +98,7 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
 
     from ice_halo_sim_tpu.core import color as color_mod
 
-    @jax.jit
-    def render(params: RenderParams):
+    def render_impl(params: RenderParams, frozen=None, record=False):
         idx = jnp.arange(B, dtype=jnp.uint32)
         n_wl = wl.shape[0]
         wl_idx = (idx % jnp.uint32(n_wl)).astype(jnp.int32)
@@ -138,10 +145,12 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
             jax.tree.map(lambda a: a[None], g), jax.tree.map(lambda a: a[None], tris)
         )
 
-        exits = trace_soa.trace_layer_soa(
+        out = trace_soa.trace_layer_soa(
             seed_u, idx, (dwx, dwy, dwz), w0, rot, pool, n_ior, mh,
-            score_grad=True,
+            score_grad=frozen is None and not record,
+            frozen=frozen, record=record,
         )
+        exits, choices = out if record else (out, None)
 
         flat_w = exits.w.reshape(-1)                          # [H*B]
         flat_d = jnp.stack(
@@ -155,6 +164,13 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
         acc = projection.splat_bilinear(
             acc, fx, fy, valid & (flat_w > 0), flat_xyz, pplan.width, pplan.height
         )
-        return acc.reshape(pplan.height, pplan.width, 3)
+        img = acc.reshape(pplan.height, pplan.width, 3)
+        return (img, choices) if record else img
 
-    return render
+    if frozen_mode:
+        render_frozen = jax.jit(
+            lambda params, choices: render_impl(params, frozen=choices)
+        )
+        record_fn = jax.jit(lambda params: render_impl(params, record=True))
+        return render_frozen, record_fn
+    return jax.jit(render_impl)

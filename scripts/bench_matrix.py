@@ -92,8 +92,13 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
     def sync():
         np.asarray(engine.accum[-1])
 
-    # Warm-up: compile + first dispatch excluded from the window.
+    # Warm-up: compile + first dispatch + the post-calibration RETRACE
+    # (the first run triggers calibration, which bumps the plan version;
+    # the recompile it causes must land outside the timed window — it was
+    # measured inflating CoV to ~0.35).
     engine.run(n_batches=2)
+    sync()
+    engine.run(n_batches=min(2 * engine.steps_per_dispatch, 64))
     sync()
 
     n_batches = max(1, min_rays // engine.batch_size)
@@ -116,6 +121,8 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
         "cov": cov,
         "vs_baseline_cpu": (med / BASELINES[scene]) if BASELINES[scene] else None,
         "platform": jax.devices()[0].platform,
+        "fold": engine.fold_kind,
+        "fold_decision": engine.fold_decision,
     }
 
 
@@ -128,7 +135,14 @@ def main(argv=None) -> int:
     p.add_argument("--min-rays", type=int, default=None,
                    help="rays per repetition (default: 64M TPU / 1M CPU)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--quick", action="store_true",
+                   help="CI mode: light scene only, 1 rep, small budget")
     args = p.parse_args(argv)
+    if args.quick:
+        args.scenes = "light"
+        args.res = "512x256"
+        args.reps = 1
+        args.min_rays = args.min_rays or (1 << 23)
 
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform

@@ -157,6 +157,98 @@ def test_gradient_tracks_finite_difference(cfg, field, eps):
     assert 0.25 < g / fd < 4.0, (g, fd)
 
 
+def _blur_loss(img):
+    """smooth_loss over a sigma=2px Gaussian-blurred Y channel: the bilinear
+    splat is only C0 (kinks at pixel crossings); blurring makes each ray's
+    contribution smooth in its projected position, so centered FD of the
+    FROZEN render converges to the autodiff value (measured: without the
+    blur, FD noise floors at ~10-30% for orientation parameters)."""
+    k = jnp.asarray(np.exp(-np.arange(-6, 7) ** 2 / (2 * 2.0**2)), jnp.float32)
+    k = k / k.sum()
+    y = img[..., 1]
+    yb = jax.vmap(lambda row: jnp.convolve(row, k, "same"))(y)
+    yb = jax.vmap(lambda col: jnp.convolve(col, k, "same"))(yb.T).T
+    h, w = yb.shape
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    win = jnp.exp(-(((xx - w / 2) ** 2 + (yy - h * 0.3) ** 2) / (2 * 8.0**2)))
+    return jnp.sum(yb * win)
+
+
+@pytest.fixture(scope="module")
+def frozen_setup(cfg):
+    render_frozen, record = make_render_fn(
+        cfg, batch_size=1 << 16, seed=11, frozen_mode=True
+    )
+    # zenith mean off 90: the scene is symmetric about horizontal plates,
+    # so at exactly 90 the mean-gradient is 0 by symmetry (no FD signal).
+    params = default_params(cfg)._replace(zenith_mean_deg=jnp.float32(87.0))
+    _, choices = record(params)
+    return render_frozen, params, choices
+
+
+# Per-parameter eps/tol pinned from measurement (CPU, B=65536, seed 11):
+# sun 0.2%, zenith_mean 0.14%, zenith_std 1.6% observed — tol gives 3-6x
+# slack for platform jitter. The transport gradient is TIGHT once the
+# discrete branches are frozen; the round-2 [0.25, 4.0] band is gone.
+@pytest.mark.slow
+@pytest.mark.parametrize("field,eps,tol", [
+    ("sun_altitude_deg", 1.0, 0.05),
+    ("zenith_mean_deg", 0.25, 0.10),
+    ("zenith_std_deg", 0.01, 0.10),
+])
+def test_frozen_selection_fd_per_parameter(frozen_setup, field, eps, tol):
+    """Frozen-selection FD (the round-2 hardening path, now implemented):
+    record the base point's discrete choices (entry triangle, slab argmin
+    face, TIR, emit gates), re-render at perturbed params with them REUSED,
+    and compare autodiff of the frozen estimator against centered FD. With
+    every discontinuous branch excluded by construction the transport
+    gradient pins tightly — per parameter, one seed, no band."""
+    render_frozen, params, choices = frozen_setup
+
+    def loss(p):
+        return _blur_loss(render_frozen(p, choices))
+
+    g = float(jax.grad(
+        lambda v: loss(params._replace(**{field: v}))
+    )(getattr(params, field)))
+    v0 = float(getattr(params, field))
+    lp = float(loss(params._replace(**{field: jnp.float32(v0 + eps)})))
+    lm = float(loss(params._replace(**{field: jnp.float32(v0 - eps)})))
+    fd = (lp - lm) / (2 * eps)
+    assert abs(fd) > 0, field
+    assert np.isfinite(g)
+    assert abs(g - fd) <= tol * abs(fd) + 1e-6, (field, g, fd)
+
+
+@pytest.mark.slow
+def test_frozen_shape_transport_is_exactly_zero(frozen_setup):
+    """A measured structural fact this battery exposed: for a PRISM, exit
+    directions and Fresnel weights depend only on the (constant) face
+    normals, so with every discrete choice frozen the image is INDEPENDENT
+    of the shape scalars — the entire height/face-distance gradient is
+    selection + boundary terms (entry-selection probability via the score
+    term; argmin-face path changes), with zero transport component. Both
+    autodiff of the frozen estimator and FD must agree on exactly 0, and
+    the UNFROZEN estimator must still carry a nonzero height gradient
+    (the band test above covers its magnitude)."""
+    render_frozen, params, choices = frozen_setup
+
+    def loss(p):
+        return _blur_loss(render_frozen(p, choices))
+
+    g_h = float(jax.grad(
+        lambda v: loss(params._replace(height=v))
+    )(params.height))
+    lp = float(loss(params._replace(height=jnp.float32(0.35))))
+    lm = float(loss(params._replace(height=jnp.float32(0.25))))
+    assert g_h == 0.0
+    assert lp == lm
+    g_fd = np.asarray(jax.grad(
+        lambda f: loss(params._replace(face_distance=f))
+    )(params.face_distance))
+    np.testing.assert_array_equal(g_fd, 0.0)
+
+
 def test_gradient_wrt_orientation_distribution(cfg):
     """Orientation-distribution parameters (zenith mean/std) flow: the
     reparameterized sampler must produce finite, nonzero gradients that
