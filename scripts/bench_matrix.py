@@ -157,7 +157,17 @@ def main(argv=None) -> int:
     for scene in args.scenes.split(","):
         for res_s in args.res.split(","):
             w, h = (int(x) for x in res_s.split("x"))
-            cell = run_cell(scene.strip(), (w, h), batch, args.reps, min_rays)
+            b = batch
+            for attempt in range(4):
+                try:
+                    cell = run_cell(scene.strip(), (w, h), b, args.reps, min_rays)
+                    break
+                except Exception as exc:  # noqa: BLE001 — HBM OOM at compile
+                    if attempt == 3 or b <= 8192:
+                        cell = {"scene": scene, "resolution": [w, h],
+                                "error": str(exc)[:300]}
+                        break
+                    b //= 2
             print(json.dumps(cell), flush=True)
     return 0
 
