@@ -366,6 +366,171 @@ def check_exits(plan: Optional[FilterPlan], paths, lens, dirs):
     return matched
 
 
+# --------------------------------------------------------------------------
+# Slot-major SoA match (the production trace path)
+# --------------------------------------------------------------------------
+
+def _col_at(arr, idx):
+    """arr[idx[b], b] over [L, B] without a gather (one-hot over the tiny
+    sublane path axis)."""
+    L = arr.shape[0]
+    oh = jnp.arange(L, dtype=idx.dtype)[:, None] == idx[None, :]
+    return jnp.sum(jnp.where(oh, arr, 0), axis=0)
+
+
+def _p_shift_t(paths, valid):
+    is_pri = (paths >= 3) & valid
+    has_pri = jnp.any(is_pri, axis=0)
+    first_idx = jnp.argmax(is_pri, axis=0)
+    first_val = _col_at(paths, first_idx)
+    first_pri = jnp.where(has_pri, first_val % 10, 0)
+    pyr = paths // 10
+    pri = paths % 10
+    new_pri = (pri + FN_PERIOD - first_pri[None, :]) % FN_PERIOD + 3
+    return jnp.where(is_pri, pyr * 10 + new_pri, paths)
+
+
+def _d_mirror_t(paths, valid, sigma_a):
+    is_pri = (paths >= 3) & valid
+    pyr = paths // 10
+    pri0 = paths % 10 - 3
+    new_pri0 = (sigma_a - pri0) % FN_PERIOD
+    return jnp.where(is_pri, pyr * 10 + new_pri0 + 3, paths)
+
+
+def _b_mirror_t(paths, valid):
+    basal = (paths <= 2) & valid
+    upper = (paths >= 13) & (paths <= 18) & valid
+    lower = (paths >= 23) & (paths <= 28) & valid
+    out = jnp.where(basal, 3 - paths, paths)
+    out = jnp.where(upper, paths + 10, out)
+    out = jnp.where(lower, paths - 10, out)
+    changed = jnp.any(basal | upper | lower, axis=0)
+    return out, changed
+
+
+def _lex_less_t(a, b, valid):
+    diff = (a != b) & valid
+    any_diff = jnp.any(diff, axis=0)
+    idx = jnp.argmax(diff, axis=0)
+    return any_diff & (_col_at(a, idx) < _col_at(b, idx))
+
+
+def reduce_paths_t(paths, valid, symmetry: Symmetry, sigma_a: int,
+                   d_applicable: bool):
+    """reduce_paths over slot-major [Lh, B] paths (batch in lanes — the
+    [N, L] orientation puts the <= 14-wide path axis in the 128-wide lane
+    dimension and wastes >90% of every vector op)."""
+    data = jnp.where(valid, paths, 0)
+    if symmetry == Symmetry.NONE:
+        return data
+    if symmetry & Symmetry.P:
+        data = _p_shift_t(data, valid)
+    if (symmetry & Symmetry.D) and d_applicable:
+        scratch = _d_mirror_t(data, valid, sigma_a)
+        if symmetry & Symmetry.P:
+            scratch = _p_shift_t(scratch, valid)
+        take = _lex_less_t(scratch, data, valid)
+        data = jnp.where(take[None, :], scratch, data)
+    if symmetry & Symmetry.B:
+        scratch, changed = _b_mirror_t(data, valid)
+        take = changed & _lex_less_t(scratch, data, valid)
+        data = jnp.where(take[None, :], scratch, data)
+    return data
+
+
+def check_exits_prefix_soa(plan: Optional[FilterPlan], path, live, dirs):
+    """Filter verdicts for every exit slot, slot-major (the trace kernel's
+    native layout — no transposes, no H-fold path duplication).
+
+    path: [H, B] int32 face numbers (slot h's raypath = path[:h+1, b]);
+    live: [H, B] bool (slot emitted); dirs: (dx, dy, dz) each [H, B] world
+    exit directions. Returns [H, B] bool verdicts (Match XOR filter_out).
+
+    Static slot loop: a raypath predicate of canonical length C can only
+    match at slot h == C-1, so every other slot skips it AT TRACE TIME —
+    for OR-of-AND filters whose clauses pin specific lengths this removes
+    almost all canonicalization work (the [N, L] formulation evaluated
+    every clause against every slot).
+    """
+    H, B = path.shape
+    if plan is None:
+        return jnp.ones((H, B), bool)
+    dx, dy, dz = dirs
+    rows = []
+    for h in range(H):
+        p = path[: h + 1]
+        lv = live[h]
+        valid = jnp.broadcast_to(lv[None, :], (h + 1, B))
+        cache = {}
+
+        def reduced_for(s, p=p, valid=valid, cache=cache):
+            k = (s.symmetry, s.sigma_a, s.d_applicable)
+            if k not in cache:
+                cache[k] = reduce_paths_t(p, valid, *k)
+            return cache[k]
+
+        matched = None
+        for clause in plan.clauses:
+            and_ok = None
+            for s in clause:
+                if s.kind == "none":
+                    continue
+                elif s.kind == "crystal":
+                    if s.crystal_match:
+                        continue
+                    and_ok = jnp.zeros(B, bool)
+                    break
+                elif s.kind == "direction":
+                    dvec = s.dir_vec
+                    m = (
+                        dx[h] * dvec[0] + dy[h] * dvec[1] + dz[h] * dvec[2]
+                    ) > s.radii_c
+                elif s.kind == "raypath":
+                    if len(s.canonical) != h + 1:
+                        and_ok = jnp.zeros(B, bool)
+                        break
+                    red = reduced_for(s)
+                    canon = jnp.asarray(s.canonical, jnp.int32)
+                    m = lv & jnp.all(red == canon[:, None], axis=0)
+                elif s.kind == "entry_exit":
+                    if (h + 1) < s.min_len or (
+                        s.max_len is not None and (h + 1) > s.max_len
+                    ):
+                        and_ok = jnp.zeros(B, bool)
+                        break
+                    if not (s.has_entry or s.has_exit):
+                        m = lv
+                    else:
+                        ends = []
+                        if s.has_entry:
+                            ends.append(p[0])
+                        if s.has_exit:
+                            ends.append(p[h])
+                        ee = jnp.stack(ends, axis=0)        # [1|2, B]
+                        canon = jnp.asarray(s.canonical, jnp.int32)
+                        if canon.shape[0] != ee.shape[0]:
+                            and_ok = jnp.zeros(B, bool)
+                            break
+                        red = reduce_paths_t(
+                            ee, jnp.ones_like(ee, bool), s.symmetry,
+                            s.sigma_a, s.d_applicable,
+                        )
+                        m = lv & jnp.all(red == canon[:, None], axis=0)
+                else:
+                    raise ValueError(s.kind)
+                and_ok = m if and_ok is None else (and_ok & m)
+            if and_ok is None:       # all-trivially-true clause
+                and_ok = jnp.ones(B, bool)
+            matched = and_ok if matched is None else (matched | and_ok)
+        if matched is None:
+            matched = jnp.zeros(B, bool)
+        if plan.action == FilterAction.FILTER_OUT:
+            matched = ~matched
+        rows.append(matched)
+    return jnp.stack(rows, axis=0)
+
+
 def check_exits_slots(plan: Optional[FilterPlan], paths, path_lens, dirs):
     """Filter verdicts for H exit slots sharing one path buffer: [c, H].
 

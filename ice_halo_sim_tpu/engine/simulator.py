@@ -1092,20 +1092,11 @@ class Engine:
             # Filter emit gate (Design A: the filter runs simulator-side and a
             # failing exit neither accumulates nor continues,
             # doc/filter-architecture.md / CollectData 1.3). Filters consume
-            # AoS [c, L] path buffers; the transposes run only for filtered
-            # settings.
-            need_dirs_aos = any(fp is not None for fp in plan.filter_plans) or (
-                n_classes and any(plan.color_plans)
-            )
-            if need_dirs_aos:
-                path_aos = exits.path.T                       # [B_l, H]
-                len_aos = jnp.where(
-                    exit_w > 0.0, slot_len, 0
-                ).T.astype(jnp.int32)                         # [B_l, H]
-                dirs_aos = jnp.stack(
-                    [exits.dx.T, exits.dy.T, exits.dz.T], axis=-1
-                )                                             # [B_l, H, 3]
+            # the trace's native slot-major [H, B] layout — no transposes,
+            # and raypath predicates statically skip slots whose prefix
+            # length cannot match (check_exits_prefix_soa).
             if any(fp is not None for fp in plan.filter_plans):
+                live_slots = exit_w > 0.0                     # [H, B_l]
                 seg_masks = []
                 off = 0
                 for s, c in enumerate(plan.setting_counts):
@@ -1113,18 +1104,23 @@ class Engine:
                         continue
                     fp = plan.filter_plans[s]
                     if fp is None:
-                        seg_masks.append(jnp.ones((c, H), bool))
+                        seg_masks.append(jnp.ones((H, c), bool))
                     else:
                         seg_masks.append(
-                            filters.check_exits_slots(
-                                fp, path_aos[off : off + c],
-                                len_aos[off : off + c],
-                                dirs_aos[off : off + c],
+                            filters.check_exits_prefix_soa(
+                                fp, exits.path[:, off : off + c],
+                                live_slots[:, off : off + c],
+                                (exits.dx[:, off : off + c],
+                                 exits.dy[:, off : off + c],
+                                 exits.dz[:, off : off + c]),
                             )
                         )
                     off += c
-                fmask = jnp.concatenate(seg_masks) if len(seg_masks) > 1 else seg_masks[0]
-                exit_w = jnp.where(fmask.T, exit_w, 0.0)
+                fmask = (
+                    jnp.concatenate(seg_masks, axis=1)
+                    if len(seg_masks) > 1 else seg_masks[0]
+                )
+                exit_w = jnp.where(fmask, exit_w, 0.0)
 
             # Probability gate per exit slot (stream: ray idx, slot 100 + h).
             gate_seed = layer_seed ^ rng.NONCE_GATE
@@ -1146,23 +1142,29 @@ class Engine:
             # exit's path — CollectData Design-2 color pass semantics).
             exit_mask = jnp.broadcast_to(carried_mask[None, :], exit_w.shape)
             if n_classes and any(plan.color_plans):
+                live_slots = exit_w > 0.0                     # [H, B_l]
                 seg_bits = []
                 off = 0
                 for s, c in enumerate(plan.setting_counts):
                     if c == 0:
                         continue
-                    bits = jnp.zeros((c, H), jnp.uint32)
+                    bits = jnp.zeros((H, c), jnp.uint32)
                     for bit_idx, cplan in plan.color_plans[s]:
-                        match = filters.check_exits_slots(
-                            cplan, path_aos[off : off + c],
-                            len_aos[off : off + c],
-                            dirs_aos[off : off + c],
+                        match = filters.check_exits_prefix_soa(
+                            cplan, exits.path[:, off : off + c],
+                            live_slots[:, off : off + c],
+                            (exits.dx[:, off : off + c],
+                             exits.dy[:, off : off + c],
+                             exits.dz[:, off : off + c]),
                         )
                         bits = bits | jnp.where(match, jnp.uint32(1 << bit_idx), 0)
                     seg_bits.append(bits)
                     off += c
-                produced = jnp.concatenate(seg_bits) if len(seg_bits) > 1 else seg_bits[0]
-                exit_mask = exit_mask | produced.T
+                produced = (
+                    jnp.concatenate(seg_bits, axis=1)
+                    if len(seg_bits) > 1 else seg_bits[0]
+                )
+                exit_mask = exit_mask | produced
 
             acc_w = jnp.where(acc_mask, exit_w, 0.0)          # [H, B_l]
             if self.min_emit_frac > 0.0:

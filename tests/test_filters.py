@@ -221,3 +221,69 @@ def test_engine_raypath_filter_isolates_22_halo():
     assert ring / total > 0.98
     # The forward direction (straight-through + external reflection) is gone.
     assert y[theta < 5].sum() / total < 1e-3
+
+
+def test_prefix_soa_matches_slots_path():
+    """The slot-major production filter path (check_exits_prefix_soa) must
+    agree with the AoS reference formulation for every slot, symmetry, and
+    filter kind, including dead slots and FILTER_OUT."""
+    import numpy as np
+    from ice_halo_sim_tpu.config.schema import (
+        AxisDistribution, ComplexFilter, DirectionFilter, Distribution,
+        DistType, EntryExitFilter, FilterAction, FilterConfig, RaypathFilter,
+        Symmetry,
+    )
+
+    rng = np.random.default_rng(42)
+    H, B = 6, 512
+    path = rng.choice([1, 2, 3, 4, 5, 6, 7, 8], size=(H, B)).astype(np.int32)
+    live = rng.random((H, B)) < 0.7
+    d = rng.normal(size=(3, H, B)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+
+    axis = AxisDistribution(
+        latitude=Distribution(DistType.GAUSS, 0.0, 2.0),
+        azimuth=Distribution(DistType.UNIFORM, 0.0, 360.0),
+        roll=Distribution(DistType.UNIFORM, 0.0, 360.0),
+    )
+    sub_fcs = {
+        10: FilterConfig(id=10, param=RaypathFilter(raypath=(3, 5)),
+                         symmetry=Symmetry.P | Symmetry.B, action=FilterAction.FILTER_IN),
+        11: FilterConfig(id=11, param=DirectionFilter(az=30.0, el=10.0, radii=60.0),
+                         symmetry=Symmetry.NONE, action=FilterAction.FILTER_IN),
+        12: FilterConfig(id=12, param=EntryExitFilter(entry=3, exit=6, min_len=2, max_len=5),
+                         symmetry=Symmetry.P, action=FilterAction.FILTER_IN),
+        13: FilterConfig(id=13, param=RaypathFilter(raypath=(1, 3, 2)),
+                         symmetry=Symmetry.P | Symmetry.B | Symmetry.D,
+                         action=FilterAction.FILTER_IN),
+    }
+    cases = [
+        FilterConfig(id=1, param=RaypathFilter(raypath=(3, 5)),
+                     symmetry=Symmetry.P | Symmetry.B, action=FilterAction.FILTER_IN),
+        FilterConfig(id=2, param=RaypathFilter(raypath=(1, 3, 2)),
+                     symmetry=Symmetry.P | Symmetry.B | Symmetry.D,
+                     action=FilterAction.FILTER_OUT),
+        FilterConfig(id=3, param=EntryExitFilter(entry=3, exit=6, min_len=2, max_len=5),
+                     symmetry=Symmetry.P, action=FilterAction.FILTER_IN),
+        FilterConfig(id=4, param=DirectionFilter(az=30.0, el=10.0, radii=60.0),
+                     symmetry=Symmetry.NONE, action=FilterAction.FILTER_OUT),
+        FilterConfig(id=5, param=ComplexFilter(composition=((10, 11), (12,), (13,))),
+                     symmetry=Symmetry.NONE, action=FilterAction.FILTER_IN),
+    ]
+    slot_len = np.arange(1, H + 1, dtype=np.int32)[:, None]
+    lens_aos = np.where(live, slot_len, 0).T.astype(np.int32)     # [B, H]
+    path_aos = np.broadcast_to(path.T[:, None, :], (B, H, H)).reshape(B * H, H)
+    dirs_aos = np.moveaxis(d, 0, -1).transpose(1, 0, 2).reshape(B * H, 3)
+
+    for fc in cases:
+        plan = filters.build_filter_plan(fc, axis, sub_fcs, 1)
+        got = np.asarray(filters.check_exits_prefix_soa(
+            plan, jnp.asarray(path), jnp.asarray(live),
+            (jnp.asarray(d[0]), jnp.asarray(d[1]), jnp.asarray(d[2])),
+        ))
+        want = np.asarray(filters.check_exits(
+            plan, jnp.asarray(path_aos), jnp.asarray(lens_aos.reshape(-1)),
+            jnp.asarray(dirs_aos),
+        )).reshape(B, H).T
+        # Dead slots carry zero weight; parity is required on LIVE slots.
+        np.testing.assert_array_equal(got[live], want[live], err_msg=str(fc.id))
