@@ -12,6 +12,15 @@ Endpoints (all served by stdlib http.server, no dependencies):
   POST /commit              body = project JSON; returns {"reused": bool}
                             (value-equal layouts keep the accumulation —
                             the reference's CommitConfig reuse predicate)
+  GET  /project             the ACTIVE project as JSON (save; with /commit
+                            this round-trips a project file — the web
+                            analog of the reference GUI's .lmc save/load,
+                            src/gui/file_io.cpp)
+  GET  /crystal/<id>.json   triangle mesh {vertices, triangles} of crystal
+                            <id> at its distribution centers (the 3D
+                            preview data path; reference
+                            src/gui/crystal_renderer.cpp renders the same
+                            mesh through an FBO)
 
 The simulation pumps in the Server's own thread; HTTP handlers only read
 immutable ResultFrame snapshots or issue commits, the same contract the
@@ -43,9 +52,16 @@ code { color: #8fd3ff; }
   <label>EV <input type="range" id="ev" min="-6" max="6" step="0.1" value="0">
         <span id="evv">0.0</span></label>
   <button id="evauto">EV auto</button>
+  <button id="save">save project</button>
+  <button id="loadbtn">load project</button>
+  <input type="file" id="load" style="display:none" accept=".json">
   <span id="stat"></span>
 </div>
+<div style="display:flex; gap:1em; align-items:flex-start">
 <img id="img" src="/frame/0.png">
+<div><label>crystal <select id="crys"></select></label><br>
+<canvas id="xtal" width="200" height="200" style="border:1px solid #333"></canvas></div>
+</div>
 <script>
 const img = document.getElementById('img');
 const sel = document.getElementById('render');
@@ -74,9 +90,66 @@ async function poll() {
       for (let i = 0; i < s.renders; i++) sel.add(new Option(i, i));
     }
     if (!s.is_idle) refresh();
+    const cs = document.getElementById('crys');
+    if (cs.options.length !== (s.crystals || []).length) {
+      cs.innerHTML = '';
+      for (const id of s.crystals) cs.add(new Option(id, id));
+      loadCrystal();
+    }
   } catch (e) {}
   setTimeout(poll, 1000);
 }
+document.getElementById('save').onclick = async () => {
+  const text = await (await fetch('/project')).text();
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(new Blob([text], {type: 'application/json'}));
+  a.download = 'project.json';
+  a.click();
+};
+document.getElementById('loadbtn').onclick = () =>
+  document.getElementById('load').click();
+document.getElementById('load').onchange = async (e) => {
+  const f = e.target.files[0];
+  if (!f) return;
+  const r = await fetch('/commit', {method: 'POST', body: await f.text()});
+  const j = await r.json();
+  document.getElementById('stat').textContent =
+    r.ok ? (j.reused ? 'committed (reused)' : 'committed (restarted)')
+         : ('commit error: ' + j.error);
+  refresh();
+};
+// Wireframe crystal preview (reference: src/gui/crystal_renderer.cpp's
+// FBO 3D view; here a canvas orthographic spin).
+let mesh = null, ang = 0;
+async function loadCrystal() {
+  const cs = document.getElementById('crys');
+  if (!cs.value) return;
+  mesh = await (await fetch(`/crystal/${cs.value}.json`)).json();
+}
+document.getElementById('crys').onchange = loadCrystal;
+setInterval(() => {
+  if (!mesh) return;
+  ang += 0.02;
+  const c = document.getElementById('xtal').getContext('2d');
+  c.clearRect(0, 0, 200, 200);
+  c.strokeStyle = '#8fd3ff';
+  const ca = Math.cos(ang), sa = Math.sin(ang), tilt = 0.5;
+  let smax = 1e-6;
+  for (const v of mesh.vertices) smax = Math.max(smax, Math.hypot(v[0], v[1], v[2]));
+  const p2 = mesh.vertices.map(v => {
+    const x = ca * v[0] + sa * v[1], y = -sa * v[0] + ca * v[1];
+    const y2 = y * Math.cos(tilt) - v[2] * Math.sin(tilt);
+    return [100 + 80 * x / smax, 100 + 80 * y2 / smax];
+  });
+  c.beginPath();
+  for (const t of mesh.triangles) {
+    for (let i = 0; i < 3; i++) {
+      const a = p2[t[i]], b = p2[t[(i + 1) % 3]];
+      c.moveTo(a[0], a[1]); c.lineTo(b[0], b[1]);
+    }
+  }
+  c.stroke();
+}, 50);
 poll();
 </script></body></html>"""
 
@@ -112,6 +185,39 @@ class _Handler(BaseHTTPRequestHandler):
                 "is_idle": bool(frame.is_idle) if frame else False,
                 "renders": len(frame.images) if frame else 0,
                 "ev_auto": [round(float(e), 2) for e in (frame.ev_auto if frame else ())],
+                "crystals": sorted(
+                    (gui.server.config().crystals if gui.server.config() else {})
+                ),
+            }).encode()
+            self._send(200, body, "application/json")
+            return
+        if url.path == "/project":
+            from ice_halo_sim_tpu.config.serialize import project_to_dict
+
+            cfg = gui.server.config()
+            if cfg is None:
+                self._send(404, b"no project committed", "text/plain")
+                return
+            body = json.dumps(project_to_dict(cfg), indent=1).encode()
+            self._send(200, body, "application/json")
+            return
+        if url.path.startswith("/crystal/") and url.path.endswith(".json"):
+            from ice_halo_sim_tpu.core import mesh as mesh_mod
+
+            try:
+                cid = int(url.path[len("/crystal/"):-len(".json")])
+            except ValueError:
+                self._send(404, b"bad crystal id", "text/plain")
+                return
+            cfg = gui.server.config()
+            if cfg is None or cid not in cfg.crystals:
+                self._send(404, b"unknown crystal", "text/plain")
+                return
+            m = mesh_mod.crystal_mesh(cfg.crystals[cid].shape)
+            body = json.dumps({
+                "id": cid,
+                "vertices": np.asarray(m.vertices, np.float64).round(6).tolist(),
+                "triangles": np.asarray(m.triangles).tolist(),
             }).encode()
             self._send(200, body, "application/json")
             return

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""The pre-snapshot gate: run EVERY commit check mechanically and record
+the output (rounds 1 and 2 both ended with an unverified buzzer-beater —
+the discipline to match is the reference's build.sh ctest gate,
+/root/reference/scripts/build.sh:24).
+
+Runs, in order:
+  1. scripts/check_policies.py          (deterministic repo policies)
+  2. pytest tests/ (FULL suite — the declared commit gate, pytest.ini)
+  3. scripts/tpu_smoke.py               (on-chip kernel gate; skipped with a
+                                         loud notice if no TPU is visible)
+
+Writes a GATES_<tag>.txt transcript to the repo root and exits nonzero if
+any gate fails. Usage: python scripts/run_gates.py [--tag r03] [--skip-tpu]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--tag", default=time.strftime("%Y%m%d-%H%M"))
+    p.add_argument("--skip-tpu", action="store_true")
+    args = p.parse_args(argv)
+
+    out_path = os.path.join(REPO, f"GATES_{args.tag}.txt")
+    gates = [
+        ("policies", [sys.executable, "scripts/check_policies.py"]),
+        ("full-pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
+    ]
+    if not args.skip_tpu:
+        gates.append(("tpu-smoke", [sys.executable, "scripts/tpu_smoke.py"]))
+
+    lines = [f"gate transcript {args.tag} @ {time.strftime('%F %T')}",
+             f"HEAD: {subprocess.run(['git', 'rev-parse', 'HEAD'], capture_output=True, text=True, cwd=REPO).stdout.strip()}",
+             f"dirty: {bool(subprocess.run(['git', 'status', '--porcelain'], capture_output=True, text=True, cwd=REPO).stdout.strip())}"]
+    ok = True
+    for name, cmd in gates:
+        t0 = time.time()
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        dt = time.time() - t0
+        tail = (r.stdout + r.stderr).strip().splitlines()[-12:]
+        status = "PASS" if r.returncode == 0 else f"FAIL (rc={r.returncode})"
+        ok &= r.returncode == 0
+        lines.append(f"\n=== {name}: {status} in {dt:.0f}s ===")
+        lines.extend("  " + t for t in tail)
+        print(f"[gates] {name}: {status} ({dt:.0f}s)", flush=True)
+    lines.append(f"\nALL GATES {'GREEN' if ok else 'RED'}")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[gates] transcript -> {out_path}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,3 +55,53 @@ def test_gui_serves_frames_and_commits():
     finally:
         httpd.shutdown()
         gui.server.shutdown()
+
+
+@pytest.mark.slow
+def test_gui_project_roundtrip_and_crystal_mesh():
+    """Project save/load + 3D crystal-preview data (the two highest-value
+    reference GUI slices: src/gui/file_io.cpp save/load, crystal_renderer
+    mesh preview)."""
+    from ice_halo_sim_tpu.gui.app import serve
+
+    cfg = dict(SMOKE_CFG)
+    cfg["scene"] = dict(SMOKE_CFG["scene"], ray_num=8192)
+    httpd, gui = serve(json.dumps(cfg), port=0, seed=3, batch_size=4096,
+                       block=False)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        gui.server.wait_idle(timeout=300)
+
+        status = json.loads(urllib.request.urlopen(base + "/status").read())
+        assert status["crystals"], status
+
+        # Save: the active project serializes to JSON...
+        saved = urllib.request.urlopen(base + "/project").read()
+        proj = json.loads(saved)
+        assert "crystal" in proj and "scene" in proj
+
+        # ...and loading the SAVED project back is a value-equal commit
+        # (reused accumulation) — the round-trip contract.
+        req = urllib.request.Request(
+            base + "/commit", data=saved, method="POST")
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["reused"] is True
+
+        # Crystal mesh: closed triangle surface of the committed crystal.
+        cid = status["crystals"][0]
+        mesh = json.loads(
+            urllib.request.urlopen(base + f"/crystal/{cid}.json").read())
+        nv, nt = len(mesh["vertices"]), len(mesh["triangles"])
+        assert nv >= 8 and nt >= 2 * nv - 4  # closed: T = 2V - 4
+        assert all(len(v) == 3 for v in mesh["vertices"])
+        assert all(
+            0 <= i < nv for tri in mesh["triangles"] for i in tri)
+
+        try:
+            urllib.request.urlopen(base + "/crystal/999.json")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        gui.server.shutdown()
