@@ -61,6 +61,43 @@ def hi_epoch_seed(seed, base_hi):
     return jnp.where(base_hi == 0, seed, seed ^ pcg_hash(base_hi))
 
 
+def epoch_seed(seed, base_lo, base_hi, idx):
+    """Per-ray effective seed for a 64-bit global ray index.
+
+    `idx` is the (wrapping) u32 low half `base_lo + offset`; a wrap past
+    2^32 promotes the ray into the next hi epoch (the per-thread
+    carry-detect of pcg_advance_hi, pcg_shared.h:257-261) and the epoch is
+    mixed into the seed via pcg_seed_with_high — identity when hi == 0, so
+    every in-range session keeps bit-identical streams. This is the fix for
+    the reference's documented 2^32 stream-collision silent-undersampling
+    bug (trace_backend.hpp:160-190).
+    """
+    carry = (idx.astype(jnp.uint32) < jnp.uint32(base_lo)).astype(jnp.uint32)
+    hi = jnp.uint32(base_hi) + carry
+    seed = jnp.uint32(seed)
+    return jnp.where(hi == 0, seed, seed ^ pcg_hash(hi))
+
+
+def mul_u32_split(c, s: int):
+    """(c * s) for traced u32 `c` and static int `s` < 2^32, as (lo, hi)
+    u32 words — 32x32 -> 64 without relying on x64 mode (disabled by
+    default under JAX; u32 arithmetic wraps silently otherwise)."""
+    s = int(s) & 0xFFFFFFFF
+    c = c.astype(jnp.uint32) if hasattr(c, "astype") else jnp.uint32(c)
+    s_lo, s_hi = _U32(s & 0xFFFF), _U32(s >> 16)
+    c_lo, c_hi = c & _U32(0xFFFF), c >> _U32(16)
+    p_ll = c_lo * s_lo
+    p_lh = c_lo * s_hi
+    p_hl = c_hi * s_lo
+    p_hh = c_hi * s_hi
+    mid = p_lh + p_hl
+    mid_carry = (mid < p_lh).astype(jnp.uint32)     # sum of two u32 wrapped
+    lo = p_ll + (mid << _U32(16))
+    lo_carry = (lo < p_ll).astype(jnp.uint32)
+    hi = p_hh + (mid >> _U32(16)) + (mid_carry << _U32(16)) + lo_carry
+    return lo, hi
+
+
 def uniform(seed, idx, slot):
     """One u01 draw for stream (seed, idx) at draw-slot `slot`.
 

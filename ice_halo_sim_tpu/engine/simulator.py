@@ -389,6 +389,10 @@ class Engine:
         carry_key, carry_w = key, wz
         n_in = n_live
         n_last = n_live if len(levels) == 1 else None
+        # Rows diverted straight to the full-coverage tile by a level
+        # overflow still ENTER the last level; count them so n_last doesn't
+        # report 0 for exactly the batches where pressure spiked (ADVICE r3).
+        diverted = jnp.uint32(0)
         for li, (clist, keep) in enumerate(levels):
             is_last = li == len(levels) - 1
             n_cur = carry_key.shape[0]
@@ -434,12 +438,13 @@ class Engine:
                         (m == 0) & (cw > 0.0), ck, jnp.uint32(0xFFFFFFFF)
                     )
                     nw = jnp.where(m == 0, cw, 0.0)
-                    return t_l, t_last, nk, nw
+                    return t_l, t_last, nk, nw, jnp.uint32(0)
 
                 def level_overflow(args):
                     # Entrants overflow the budget: fold them ALL, exactly,
                     # into the full-coverage last tile and end the cascade
-                    # for this batch (carry all-dead).
+                    # for this batch (carry all-dead). Report the pre-divert
+                    # entrant count so n_last stats stay truthful.
                     t_l, t_last = args
                     p_f, wl_f = decode(carry_key)
                     t_last, _ = level_pass(
@@ -449,15 +454,17 @@ class Engine:
                         t_l, t_last,
                         jnp.full((keep,), 0xFFFFFFFF, jnp.uint32),
                         jnp.zeros((keep,), cw.dtype),
+                        n_in,
                     )
 
-                tiles[li], tiles[-1], carry_key, carry_w = jax.lax.cond(
+                tiles[li], tiles[-1], carry_key, carry_w, dv = jax.lax.cond(
                     n_in <= jnp.uint32(keep), level_normal, level_overflow,
                     (tiles[li], tiles[-1]),
                 )
+                diverted = diverted + dv
             n_in = jnp.sum((carry_w > 0.0).astype(jnp.uint32))
             if li == len(levels) - 2:
-                n_last = n_in
+                n_last = n_in + diverted
         return tiles, count_tile, n_live, n_last
 
     def _sandwich_dense64(self, r) -> np.ndarray:
@@ -600,8 +607,13 @@ class Engine:
             from ice_halo_sim_tpu.utils.log import get_logger
 
             get_logger("engine").info(self.fold_decision)
+            # The tiles were already folded into _settled above — reuse the
+            # settled image directly. (Recomputing _sandwich_dense here would
+            # add the tiles a second time: 2x mass on every auto-demoted
+            # scene — ADVICE r3 #1.)
             dense = [
-                jnp.asarray(self._sandwich_dense(r)) for r in range(R)
+                jnp.asarray(self._settled[r].astype(np.float32))
+                for r in range(R)
             ]
             self._sandwich_on = False
             self._calibrating = False
@@ -912,17 +924,21 @@ class Engine:
 
     def _sample_layer_pool(self, li: int, plan: LayerPlan, batch_counter):
         """Sample the layer's K-shape geometry pool (inside jit)."""
-        seed = jnp.uint32(self.seed) ^ rng.NONCE_GEOM_SHAPE ^ jnp.uint32(li * 0x9E37)
+        seed0 = jnp.uint32(self.seed) ^ rng.NONCE_GEOM_SHAPE ^ jnp.uint32(li * 0x9E37)
         geoms = []
         k_total = sum(plan.k_per_setting)
+        # 64-bit shape index: batch_counter * k_total wraps u32 after
+        # ~2^32/k_total batches (reachable in minutes at bench k_total);
+        # mix the hi word into the seed exactly like the ray-base epoch.
+        kb_lo, kb_hi = rng.mul_u32_split(batch_counter, k_total)
         k_off = 0
         layer_nf = geometry.PYRAMID_FACES if any(
             k == "pyramid" for k in plan.shape_kinds
         ) else geometry.PRISM_FACES
         for s, kind in enumerate(plan.shape_kinds):
             k = plan.k_per_setting[s]
-            k_idx = (batch_counter * jnp.uint32(k_total) + jnp.uint32(k_off)
-                     + jnp.arange(k, dtype=jnp.uint32))
+            k_idx = kb_lo + jnp.uint32(k_off) + jnp.arange(k, dtype=jnp.uint32)
+            seed = rng.epoch_seed(seed0, kb_lo, kb_hi, k_idx)
             sp = plan.shape_param_arrays[s]
             if kind == "prism":
                 h = jnp.abs(_sample_shape_scalars(seed, k_idx, sp["h_slot"], sp["h"]))
@@ -978,9 +994,11 @@ class Engine:
             axis=-1,
         )
 
-    def _wavelength_draw(self, lane_idx, batch_counter):
+    def _wavelength_draw(self, lane_idx, batch_counter, seed_vec=None):
         """Per-ray (wavelength, init weight, pool index) — the GPU per-ray
-        wl-pool formulation (trace_backend.hpp:521)."""
+        wl-pool formulation (trace_backend.hpp:521). seed_vec: per-ray
+        epoch-mixed seed (64-bit ray-index contract); scalar seed when
+        absent."""
         if self.wl_mode == "discrete":
             n_wl = self.wl_table.shape[0]
             wl_idx = (lane_idx % jnp.uint32(n_wl)).astype(jnp.uint32)
@@ -989,7 +1007,8 @@ class Engine:
             wl = self._wl_from_idx(wl_idx, batch_counter)
             w0 = hw.take_rows(self.wl_weights, wl_idx.astype(jnp.int32))
         else:
-            seed = jnp.uint32(self.seed) ^ rng.NONCE_WL ^ jnp.uint32(0x6A09E667)
+            base = jnp.uint32(self.seed) if seed_vec is None else seed_vec
+            seed = base ^ rng.NONCE_WL ^ jnp.uint32(0x6A09E667)
             u = rng.uniform(seed, lane_idx, 0)
             wl_idx = jnp.minimum(
                 (u * self.k_pool).astype(jnp.uint32), jnp.uint32(self.k_pool - 1)
@@ -1007,7 +1026,8 @@ class Engine:
             w0 = jnp.sum(jnp.where(oh, spd_tbl[None, :], 0.0), axis=-1)
         return wl, w0, wl_idx
 
-    def _trace_batch_impl(self, batch_base, batch_counter, n_active=None):
+    def _trace_batch_impl(self, batch_base, batch_counter, n_active=None,
+                          base_hi=None):
         """One full batch: sample -> trace all layers -> project.
 
         Returns (contribs, landed_add, dropped_w, seg_count) where contribs
@@ -1029,8 +1049,18 @@ class Engine:
         lane = jnp.arange(B, dtype=jnp.uint32)
         ray_idx = batch_base + lane
         seed0 = jnp.uint32(self.seed)
+        if base_hi is None:
+            base_hi = jnp.uint32(0)
+        # Per-ray epoch-mixed seed: every ray-index stream consumer below
+        # keys on the FULL 64-bit global ray index (base_hi + carry past a
+        # u32 wrap), not its low word — otherwise all orientation / sun /
+        # gate / wavelength streams repeat verbatim every 2^32 rays (the
+        # reference's documented silent-undersampling bug, SplitPcgRayBase,
+        # trace_backend.hpp:160-190). Identity (bit-exact streams) while
+        # the session is under 2^32 rays.
+        seed_vec = rng.epoch_seed(seed0, batch_base, base_hi, ray_idx)
 
-        wl, w0, wl_idx = self._wavelength_draw(ray_idx, batch_counter)
+        wl, w0, wl_idx = self._wavelength_draw(ray_idx, batch_counter, seed_vec)
         # Emit-threshold scale: mean initial weight of this batch (pure
         # function of the spectrum draw — identical across renders/layers).
         w_scale = jnp.mean(w0)
@@ -1039,7 +1069,7 @@ class Engine:
         n_ior = optics.ice_refractive_index(wl)
 
         d_world = sampling.sample_sun_dirs_soa(
-            seed0 ^ rng.NONCE_SUN, ray_idx,
+            seed_vec ^ rng.NONCE_SUN, ray_idx,
             self.cfg.light.sun.azimuth, self.cfg.light.sun.altitude,
             self.cfg.light.sun.diameter,
         )
@@ -1055,7 +1085,8 @@ class Engine:
         cont_demand = []   # pre-truncation continuation counts per boundary
         n_layers = len(self.layers)
         for li, plan in enumerate(self.layers):
-            layer_seed = seed0 ^ jnp.uint32(0xA5A5 * (li + 1))
+            layer_nonce = jnp.uint32(0xA5A5 * (li + 1))
+            layer_seed = seed0 ^ layer_nonce      # scalar (shuffle hash)
             pool = self._sample_layer_pool(li, plan, batch_counter)
 
             if li > 0:
@@ -1063,8 +1094,10 @@ class Engine:
                 # (below); the wavelength itself is recomputed from the
                 # carried pool index.
                 d_world, w0, wl_idx, ray_idx, carried_mask = cont
+                seed_vec = rng.epoch_seed(seed0, batch_base, base_hi, ray_idx)
                 wl = self._wl_from_idx(wl_idx, batch_counter)
                 n_ior = optics.ice_refractive_index(wl)
+            layer_seed_vec = seed_vec ^ layer_nonce
 
             # Orientation: one contiguous segment per setting (static slices;
             # no per-ray parameter gathers).
@@ -1074,7 +1107,8 @@ class Engine:
                 if c == 0:
                     continue
                 lon_s, lat_s, roll_s = sampling.sample_lat_lon_roll_row(
-                    layer_seed ^ rng.NONCE_ORIENT, ray_idx[off : off + c],
+                    layer_seed_vec[off : off + c] ^ rng.NONCE_ORIENT,
+                    ray_idx[off : off + c],
                     plan.axis_params, s,
                 )
                 lons.append(lon_s)
@@ -1087,7 +1121,7 @@ class Engine:
             rot = trace_soa.rot_components(lon, lat, roll)
 
             exits = trace_soa.trace_layer_soa(
-                layer_seed, ray_idx, d_world, w0, rot, pool, n_ior,
+                layer_seed_vec, ray_idx, d_world, w0, rot, pool, n_ior,
                 self.max_hits,
                 setting_blocks=tuple(zip(plan.k_per_setting, plan.setting_counts)),
             )
@@ -1137,7 +1171,7 @@ class Engine:
                 exit_w = jnp.where(fmask, exit_w, 0.0)
 
             # Probability gate per exit slot (stream: ray idx, slot 100 + h).
-            gate_seed = layer_seed ^ rng.NONCE_GATE
+            gate_seed = layer_seed_vec[None, :] ^ rng.NONCE_GATE
             slot_ids = jnp.arange(H, dtype=jnp.uint32)[:, None]
             u = rng.uniform(gate_seed, ray_idx[None, :], jnp.uint32(100) + slot_ids)  # [H, B_l]
             is_last = li == n_layers - 1
@@ -1257,6 +1291,7 @@ class Engine:
                 row_hash = rng.pcg_hash(
                     jnp.arange(n_rows, dtype=jnp.uint32)
                     ^ (layer_seed ^ rng.NONCE_SHUFFLE)
+                    ^ rng.pcg_hash(batch_counter)  # fresh shuffle per batch
                 )
                 key = jnp.where(
                     cont_live,
@@ -1347,7 +1382,7 @@ class Engine:
         return method
 
     def _step_impl(self, accum, batch_base, batch_counter, keep=None,
-                   plan_version: int = 0, n_active=None):
+                   plan_version: int = 0, n_active=None, base_hi=None):
         """One batch, folded into the accumulators immediately.
 
         accum: tuple of per-render [H*W, C] XYZ(+lanes) + [R] landed
@@ -1364,7 +1399,7 @@ class Engine:
         cont_demand[L-1]) — the counts feed host-side calibration.
         """
         contribs, landed_add, dropped_w, seg_count, cont_demand = (
-            self._trace_batch_impl(batch_base, batch_counter, n_active)
+            self._trace_batch_impl(batch_base, batch_counter, n_active, base_hi)
         )
         method = self._resolved_accum_method()
         n_classes = len(self.color_classes)
@@ -1470,17 +1505,19 @@ class Engine:
         superlinear in rows past the VMEM-locality knee at ~2-4 M rows, so
         one 16x sort loses to 16 small sorts.)
         """
-        mult = jnp.uint32(
-            (self.batch_size * max(1, len(self.layers) + 1)) & 0xFFFFFFFF
-        )
+        stride = self.batch_size * max(1, len(self.layers) + 1)
         n_renders = len(self.proj_plans) * (2 if self._sandwich_on else 1)
         n_bounds = max(0, len(self.layers) - 1)
 
         def body(i, carry):
             acc, dropped, segs, live, cont = carry
             counter = counter0 + jnp.uint32(i)
+            # Full 64-bit ray base (counter * stride) as (lo, hi) words —
+            # the hi epoch feeds the per-ray seed mix (trace_backend.hpp:
+            # 160-190; streams must not repeat past 2^32 rays).
+            base_lo, base_hi = rng.mul_u32_split(counter, stride)
             acc, d, s, lv, cd = self._step_impl(
-                acc, counter * mult, counter, keep, plan_version
+                acc, base_lo, counter, keep, plan_version, None, base_hi
             )
             return (acc, dropped + d, segs + s, live + lv, cont + cd)
 
@@ -1523,6 +1560,7 @@ class Engine:
                         keep,
                         self._plan_version,
                         jnp.uint32(tail) if is_tail else None,
+                        jnp.uint32((base >> 32) & 0xFFFFFFFF),
                     )
                 else:
                     self.accum, dropped, segs, live, cont = self._multi_step(

@@ -87,3 +87,30 @@ def test_feistel_is_bijection(n):
 def test_hi_epoch_seed_identity_below_2_32():
     assert int(rng.hi_epoch_seed(12345, 0)) == 12345
     assert int(rng.hi_epoch_seed(12345, 1)) != 12345
+
+
+def test_mul_u32_split_exact():
+    import jax.numpy as jnp
+
+    cases = [(0, 7), (1, 0xFFFFFFFF), (0xFFFFFFFF, 0xFFFFFFFF),
+             (123456789, 2654435761), (0x87654321, 1 << 19),
+             (3141592653, 999999937)]
+    for c, s in cases:
+        lo, hi = rng.mul_u32_split(jnp.uint32(c), s)
+        full = (c * s) & 0xFFFFFFFFFFFFFFFF
+        assert int(lo) == (full & 0xFFFFFFFF), (c, s)
+        assert int(hi) == (full >> 32), (c, s)
+
+
+def test_epoch_seed_carry_detect():
+    import jax.numpy as jnp
+
+    base_lo = jnp.uint32(0xFFFFFF00)
+    idx = base_lo + jnp.arange(512, dtype=jnp.uint32)  # wraps at offset 256
+    s = rng.epoch_seed(7, base_lo, jnp.uint32(0), idx)
+    s_np = np.asarray(s)
+    # Pre-wrap: hi == 0 -> identity.
+    assert (s_np[:256] == 7).all()
+    # Post-wrap: hi == 1 -> mixed, uniform within the epoch.
+    assert (s_np[256:] != 7).all()
+    assert len(set(s_np[256:].tolist())) == 1

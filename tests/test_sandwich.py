@@ -161,3 +161,34 @@ def test_engine_sandwich_matches_scatter_oracle(interpret, res):
     np.testing.assert_allclose(
         np.asarray(a.accum[-1]), np.asarray(b.accum[-1]), rtol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_demotion_preserves_mass(interpret):
+    """Auto-dispatch demotion (sandwich -> sort at calibration) must carry
+    the already-settled tile mass into the dense accumulator exactly ONCE.
+
+    Regression for ADVICE r3 #1: _sandwich_recalibrate settled the tiles
+    into _settled, then the demotion branch re-added the tiles via
+    _sandwich_dense — 2x mass on every auto-demoted scene."""
+    from ice_halo_sim_tpu.config.loader import load_project
+    from ice_halo_sim_tpu.engine.simulator import Engine
+
+    cfg = load_project(_mini_cfg((96, 96)))
+    a = Engine(cfg, seed=5, batch_size=1 << 12, accum_method="sort")
+    assert a._sandwich_on
+    # Force the dispatch to pick the sort fold at calibration time.
+    a._C_SORT_FIX = -1e9
+    b = Engine(cfg, seed=5, batch_size=1 << 12, accum_method="scatter")
+    a.run(n_batches=2)       # first dispatch calibrates -> demotes
+    assert not a._sandwich_on
+    assert "sort fold" in a.fold_decision
+    a.run(n_batches=2)       # post-demotion batches fold into dense accum
+    b.run(n_batches=2); b.run(n_batches=2)
+    ia, ib = a.raw_xyz(0), b.raw_xyz(0)
+    mass_a, mass_b = float(ia.sum()), float(ib.sum())
+    assert mass_b > 0
+    assert abs(mass_a - mass_b) / mass_b < 2e-3
+    np.testing.assert_allclose(
+        np.asarray(a.accum[-1]), np.asarray(b.accum[-1]), rtol=1e-6
+    )
