@@ -1497,8 +1497,21 @@ class Engine:
 
     def _multi_step_impl(self, accum, counter0, n_steps: int, keep=None,
                          plan_version: int = 0):
-        """`n_steps` batches in ONE device execution (fori_loop over the
-        fused step; per-dispatch latency amortizes across all of them).
+        """`n_steps` batches in ONE device execution (straight-line chain of
+        the fused step; per-dispatch latency amortizes across all of them).
+
+        PYRAMID SCENES ARE UNROLLED host-side on purpose — do NOT fold them
+        back into lax.fori_loop/scan. On real TPU hardware the looped
+        compilation of the NF=20 (pyramid-slot) trace is MISCOMPILED: every
+        iteration traces rays as near-undeviated (the round-4 pyramid-blob
+        bug — 81% of image mass lands within 3 px of the sun vs 15% from
+        the identical step compiled straight-line; reproduced with
+        fori_loop AND scan on v5e/axon, correct on CPU and in single-step
+        dispatches; prism NF=8 scenes verified bit-identical loop-vs-
+        unroll). Unrolling costs compile time proportional to
+        steps_per_dispatch (paid once, persistent-cached); runtime is the
+        same. Guard: scripts/tpu_smoke.py asserts the pyramid ring
+        structure through this exact path on every TPU gate run.
 
         (A per-dispatch contribution ring that folded once per dispatch was
         measured SLOWER than per-batch folds on v5e: XLA sort cost is
@@ -1521,12 +1534,14 @@ class Engine:
             )
             return (acc, dropped + d, segs + s, live + lv, cont + cd)
 
-        return jax.lax.fori_loop(
-            0, n_steps, body,
-            (accum, jnp.float32(0.0), jnp.uint32(0),
-             jnp.zeros((n_renders,), jnp.uint32),
-             jnp.zeros((n_bounds,), jnp.uint32)),
-        )
+        carry = (accum, jnp.float32(0.0), jnp.uint32(0),
+                 jnp.zeros((n_renders,), jnp.uint32),
+                 jnp.zeros((n_bounds,), jnp.uint32))
+        if self.any_pyramid and jax.default_backend() != "cpu":
+            for i in range(n_steps):
+                carry = body(i, carry)
+            return carry
+        return jax.lax.fori_loop(0, n_steps, body, carry)
 
     def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:
         tail = 0

@@ -182,6 +182,42 @@ def check_step_impl():
         os.environ.pop("IHT_FOLD", None)
 
 
+
+def check_pyramid_multistep_rings():
+    """Round-4 regression guard: the looped (fori_loop/scan) compilation of
+    the NF=20 pyramid trace MISCOMPILES on real TPU — rays come out
+    near-undeviated and 81% of image mass piles within 3 px of the sun
+    (vs 15% correct). The engine unrolls multi-step dispatches for pyramid
+    scenes as the workaround; this check drives that exact path and
+    asserts the halo ring structure survives."""
+    import numpy as np
+
+    from ice_halo_sim_tpu.config.loader import load_project_file
+    from ice_halo_sim_tpu.engine.simulator import Engine
+
+    cfg = load_project_file("/root/reference/test/e2e/configs/pyramid.json")
+    eng = Engine(cfg, seed=3, batch_size=1 << 15, accum_method="scatter")
+    eng.steps_per_dispatch = 4
+    eng.run(n_batches=4)     # ONE multi-batch dispatch
+    ia = eng.raw_xyz(0)
+    h, w, _ = ia.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.hypot(yy - h / 2, xx - w / 2)
+    tot = ia.sum()
+    near = ia[r < 3].sum() / tot
+    ring = ia[(r >= 38) & (r < 58)].sum() / tot
+    assert near < 0.4, (
+        f"pyramid multi-step: {100 * near:.1f}% of mass within 3 px of the "
+        "sun — the looped-trace miscompile is back (expected ~15%)"
+    )
+    assert ring > 0.2, (
+        f"pyramid multi-step: outer ring band carries {100 * ring:.1f}% "
+        "of mass (expected ~38%) — halo structure lost"
+    )
+    log(f"pyramid multi-step rings (near {100 * near:.1f}%, ring "
+        f"{100 * ring:.1f}%): OK")
+
+
 def main() -> int:
     import jax
 
@@ -198,6 +234,7 @@ def main() -> int:
     check_fused_scan()
     check_sandwich()
     check_step_impl()
+    check_pyramid_multistep_rings()
     log(f"ALL OK in {time.time() - t0:.1f}s on {jax.devices()[0]}")
     return 0
 
