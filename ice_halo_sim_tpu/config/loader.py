@@ -230,7 +230,11 @@ def parse_light(obj: dict) -> LightSource:
     sun = SunParam(
         altitude=float(obj.get("altitude", 20.0)),
         azimuth=float(obj.get("azimuth", 0.0)),
-        diameter=float(obj.get("diameter", 0.5)),
+        # Absent diameter = POINT sun (the reference value-initializes
+        # SunParam{} — light_config.cpp:58-66); a 0.5 default blurred every
+        # sharp halo edge by +-0.25 deg and cost the cza scene 1.2 dB of
+        # reference parity (round-4 finding).
+        diameter=float(obj.get("diameter", 0.0)),
     )
     spectrum_obj = obj.get("spectrum", [{"wavelength": 550.0, "weight": 1.0}])
     if isinstance(spectrum_obj, str):

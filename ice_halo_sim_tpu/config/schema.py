@@ -310,7 +310,8 @@ class FilterConfig:
 class SunParam:
     altitude: float = 20.0  # degrees
     azimuth: float = 0.0    # degrees
-    diameter: float = 0.5   # degrees
+    diameter: float = 0.0   # degrees; 0 = point sun (SunParam{} default,
+    #                         light_config.cpp:58-66)
 
 
 @dataclass(frozen=True)

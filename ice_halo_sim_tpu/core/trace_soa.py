@@ -218,12 +218,27 @@ def trace_layer_soa(
     score_grad: bool = False,
     frozen: Optional[FrozenChoices] = None,
     record: bool = False,
+    soft_tau: Optional[float] = None,
 ) -> SoAExits:
     """SoA mirror of trace.trace_layer (shared-geometry K == 1 or blocked
     per-setting pools). All hot-loop arrays are [B] / [NF, B] / [T, B].
 
     record=True additionally returns the FrozenChoices made; frozen=...
-    REUSES a prior recording's discrete decisions (frozen-selection FD)."""
+    REUSES a prior recording's discrete decisions (frozen-selection FD).
+
+    soft_tau: gradient-path boundary-term estimator. The slab traversal's
+    argmin face pick is the one genuinely DISCONTINUOUS branch left in the
+    estimator (entry choice carries a REINFORCE score term; the TIR /
+    emit gates are weight-continuous: Fresnel R -> 1 smoothly at the TIR
+    edge, so the refracted weight vanishes continuously). With soft_tau
+    set, the face one-hot becomes a softmin over exit-t (temperature =
+    soft_tau in crystal units): normals, t, and face identity blend
+    smoothly across a reassignment boundary, so autodiff of this
+    estimator carries the boundary flux that the hard argmin drops —
+    the frozen-FD battery proved that flux is the ENTIRE shape-scalar
+    gradient for prisms (test_frozen_shape_transport_is_exactly_zero).
+    Bias is O(soft_tau), local to rays within ~soft_tau of a boundary.
+    Production rendering never sets this."""
     B = ray_idx.shape[0]
     entry_seed = jnp.uint32(seed) ^ rng.NONCE_ENTRY
     K = pool.plane_n.shape[0]
@@ -335,10 +350,24 @@ def trace_layer_soa(
             candidate = (denom > SLAB_EPS) & present & (prev_oh < 0.5)
             t_masked = jnp.where(candidate, t_face, _BIG)
             fi = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
-            t = jnp.min(t_masked, axis=0)
-            found = (t < _BIG * 0.5) & (t > -SLAB_EPS)
+            t_hard = jnp.min(t_masked, axis=0)
+            found = (t_hard < _BIG * 0.5) & (t_hard > -SLAB_EPS)
             alive = found & (w > 0.0)
-            oh = (face_iota == fi[None, :]).astype(f32)
+            if soft_tau is None:
+                t = t_hard
+                oh = (face_iota == fi[None, :]).astype(f32)
+            else:
+                # Softmin face selection (boundary-term estimator — see
+                # docstring). exp is evaluated only on candidate rows;
+                # non-candidates get weight exactly 0.
+                dt = jnp.where(candidate, t_face, _BIG) - t_hard[None, :]
+                s_raw = jnp.where(
+                    candidate & (dt < 20.0 * soft_tau),
+                    jnp.exp(-dt / jnp.float32(soft_tau)), 0.0,
+                )
+                s_sum = jnp.maximum(jnp.sum(s_raw, axis=0), 1e-30)
+                oh = s_raw / s_sum[None, :]
+                t = jnp.sum(oh * jnp.where(candidate, t_face, 0.0), axis=0)
             tir_in = None
         else:
             fz_face, fz_alive, fz_tir, _fz_emit = xs
@@ -348,7 +377,12 @@ def trace_layer_soa(
             # t of the FROZEN face (differentiable in geometry), not argmin.
             t = jnp.sum(oh * t_face, axis=0)
             tir_in = fz_tir
-        fn = oh_num(oh)
+        if frozen is None and soft_tau is not None:
+            # Face NUMBERS stay hard (ints; the gradient path never
+            # filters on them) — only the geometric blend is soft.
+            fn = oh_num((face_iota == fi[None, :]).astype(f32))
+        else:
+            fn = oh_num(oh)
         nfx, nfy, nfz = oh_vec(oh)
 
         dist = jnp.where(alive[None, :], dist + t[None, :] * denom, dist)

@@ -16,11 +16,16 @@ Differentiable parameters (RenderParams):
     differentiable w.r.t. its distribution, so the gradient path uses the
     reparameterizable legacy gaussian and documents the measure gap);
   - height / face_distance   — crystal shape scalars; smooth terms flow
-    through plane coefficients and entry triangles. KNOWN GAP: boundary
-    terms from internal slab-face REASSIGNMENT under geometry changes (the
-    argmin face switch) carry no gradient, so shape gradients sit below
-    seed-averaged finite differences by a scene-dependent factor
-    (tests/test_gradient.py pins the band).
+    through plane coefficients and entry triangles. The internal slab-face
+    REASSIGNMENT boundary (the argmin switch — proven by frozen-selection
+    FD to be the ENTIRE prism shape gradient) is estimated by the
+    `soft_tau` softmin option (trace_soa.trace_layer_soa): face normals /
+    exit-t blend over a temperature window, so autodiff carries the
+    boundary flux. Estimator trade-off (measured, tests/test_gradient.py):
+    bias O(tau) — tau <= 0.005 crystal units keeps the estimator's own FD
+    within ~5% of the hard render — and variance O(1/(N*tau)) (boundary
+    rays are rare and carry 1/tau-scale gradients), so shape gradients
+    need large batches; the hard default keeps the old band behavior.
 
 This is the capability the reference lacks entirely — its BASELINE north
 star ("image differentiable w.r.t. crystal geometry, orientation
@@ -72,7 +77,8 @@ def default_params(cfg: ProjectConfig) -> RenderParams:
 
 
 def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 << 15,
-                   seed: int = 1, max_hits: int = None, frozen_mode: bool = False):
+                   seed: int = 1, max_hits: int = None, frozen_mode: bool = False,
+                   soft_tau: float = None):
     """Build a jittable, differentiable params -> XYZ-image function.
 
     Scope: single scattering layer, single crystal setting, fixed-shape
@@ -149,6 +155,7 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
             seed_u, idx, (dwx, dwy, dwz), w0, rot, pool, n_ior, mh,
             score_grad=frozen is None and not record,
             frozen=frozen, record=record,
+            soft_tau=None if (frozen is not None or record) else soft_tau,
         )
         exits, choices = out if record else (out, None)
 

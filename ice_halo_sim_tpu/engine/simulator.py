@@ -965,15 +965,25 @@ class Engine:
         return trace.make_geom_pool(g, tris)
 
     def _wl_from_idx(self, wl_idx, batch_counter):
-        """Wavelength of pool entry `wl_idx` for this batch (pure function —
-        the fold recomputes it post-sort from key bits alone)."""
+        """Wavelength of pool entry `wl_idx` (pure function — the fold
+        recomputes it post-sort from key bits alone).
+
+        Illuminants: the pool is a FIXED midpoint-stratified grid over
+        [380, 780] nm. Physics (IOR, SPD weight) uses a continuous per-ray
+        wavelength (see _wavelength_draw); the pool quantizes only the CIE
+        basis of the accumulation fold (< 400/K nm bins — midpoint-rule
+        error O(h^2) in the CMF, ~1e-4 relative at K = 64). The round-3
+        per-batch random pools starved lambda-dispersed features of
+        spectral diversity: K x n_batches distinct wavelengths total made
+        the cza arc measurably off (1.8 dB below the reference's own
+        run-to-run floor) because every ray in a batch shared 64 arc
+        radii."""
         if self.wl_mode == "discrete":
             from ice_halo_sim_tpu.core import hw
 
             return hw.take_rows(self.wl_table, wl_idx.astype(jnp.int32))
-        seed = jnp.uint32(self.seed) ^ rng.NONCE_WL
-        u = rng.uniform(seed, wl_idx.astype(jnp.uint32), batch_counter)
-        return 380.0 + u * 400.0
+        k = jnp.float32(400.0 / self.k_pool)
+        return 380.0 + (wl_idx.astype(jnp.float32) + 0.5) * k
 
     def _xyz_basis(self, wl_idx, batch_counter):
         """CIE XYZ response per unit weight for pool entry `wl_idx` [M].
@@ -1010,14 +1020,18 @@ class Engine:
             base = jnp.uint32(self.seed) if seed_vec is None else seed_vec
             seed = base ^ rng.NONCE_WL ^ jnp.uint32(0x6A09E667)
             u = rng.uniform(seed, lane_idx, 0)
+            # CONTINUOUS per-ray wavelength for the physics (IOR — arc
+            # positions are exact per ray, matching the reference's
+            # uniform-[380,780] draw, simulator.cpp:1087); the pool stratum
+            # quantizes only the fold's CIE basis (_wl_from_idx).
+            wl = 380.0 + u * 400.0
             wl_idx = jnp.minimum(
                 (u * self.k_pool).astype(jnp.uint32), jnp.uint32(self.k_pool - 1)
             )
-            wl = self._wl_from_idx(wl_idx, batch_counter)
-            # The SPD weight depends only on the POOL entry (wl is a pure
-            # function of wl_idx), so evaluate the illuminant on the K pool
-            # wavelengths once and expand by index — the per-RAY daylight
-            # interpolation this replaces was ~3.3 ms/batch at B=512k.
+            # The SPD weight is evaluated on the K stratum midpoints and
+            # expanded by index (midpoint rule per stratum — unbiased to
+            # O(h^2); the per-RAY daylight interpolation this replaces was
+            # ~3.3 ms/batch at B=512k).
             pool_idx = jnp.arange(self.k_pool, dtype=jnp.uint32)
             spd_tbl = color.illuminant_spd_fast(
                 self.illuminant, self._wl_from_idx(pool_idx, batch_counter)

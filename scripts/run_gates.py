@@ -27,6 +27,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--tag", default=time.strftime("%Y%m%d-%H%M"))
     p.add_argument("--skip-tpu", action="store_true")
+    p.add_argument("--skip-parity", action="store_true")
     args = p.parse_args(argv)
 
     out_path = os.path.join(REPO, f"GATES_{args.tag}.txt")
@@ -36,6 +37,18 @@ def main(argv=None) -> int:
     ]
     if not args.skip_tpu:
         gates.append(("tpu-smoke", [sys.executable, "scripts/tpu_smoke.py"]))
+    if not args.skip_parity and os.path.exists(
+        os.path.join(REPO, "tools/ref_oracle/build/lumice_ref")
+    ):
+        # Reference-CLI parity battery (doc/parity-battery.md): a 3-scene
+        # subset at FULL ray budgets (the committed floors are calibrated
+        # at full budgets — reduced rays would raise the Monte-Carlo noise
+        # past them). Full 12-scene battery: scripts/parity_ref.py bare.
+        gates.append((
+            "ref-parity",
+            [sys.executable, "scripts/parity_ref.py",
+             "--scenes", "halo_22", "cza", "pyramid"],
+        ))
 
     lines = [f"gate transcript {args.tag} @ {time.strftime('%F %T')}",
              f"HEAD: {subprocess.run(['git', 'rev-parse', 'HEAD'], capture_output=True, text=True, cwd=REPO).stdout.strip()}",
