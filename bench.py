@@ -68,7 +68,11 @@ def main() -> int:
     from ice_halo_sim_tpu.engine.simulator import Engine
 
     platform = jax.devices()[0].platform
-    batch = 1 << 19 if platform != "cpu" else 1 << 17
+    from ice_halo_sim_tpu.utils import env_knobs
+
+    batch = env_knobs.get(
+        "IHT_BATCH_SIZE", 1 << 19 if platform != "cpu" else 1 << 17
+    )
     cfg = load_project(BENCH_CFG)
     engine = Engine(cfg, seed=7, batch_size=batch)
 

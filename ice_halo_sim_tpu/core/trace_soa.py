@@ -64,6 +64,47 @@ class SoAExits(NamedTuple):
     entry_ok: jnp.ndarray
 
 
+def compact_slots(live, cols, cap: int):
+    """Per-lane stable live-first compaction along the SLOT axis.
+
+    live: [H, B] bool; cols: list of [H, B] arrays (any 32-bit dtype).
+    Returns (out_cols [cap, B], keep_mask [cap, B], n_live [B]). Each
+    lane's live rows move to its slot prefix in original order via the
+    same collision-free butterfly routing as pallas_ops._pack_one_block,
+    but along the (tiny) sublane axis with plain jnp.roll — ceil(log2(H))
+    stages of elementwise ops, no Pallas needed. Rows past a lane's live
+    count are masked by keep_mask (w must be zeroed by the caller; other
+    payloads are garbage there by contract).
+
+    Purpose: the accumulation fold's cost is per contribution ROW, and
+    [H, B] exit slots are mostly dead at depth (bench scene: slot-6 main
+    liveness 11%, overlap 1%). Compacting per ray and slicing to a
+    calibrated `cap` drops 30-70% of fold input rows for measured-zero
+    mass loss (rays with more than `cap` live exits lose their deepest
+    ones; the engine accounts that mass and calibrates cap so it stays
+    under 1e-4 of emitted mass)."""
+    H, B = live.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (H, B), 0)
+    lv = live.astype(jnp.int32)
+    rank = jnp.cumsum(lv, axis=0) - lv               # exclusive live rank
+    d = jnp.where(live, idx - rank, -1)
+    arrs = list(cols)
+    nbits = max(1, (H - 1).bit_length())
+    for j in range(nbits):
+        s = 1 << j
+        move = (d >= 0) & (((d >> j) & 1) == 1)
+        move_in = jnp.roll(move, -s, axis=0) & (idx < H - s)
+        d_in = jnp.roll(d, -s, axis=0) - s
+        vacated = move & ~move_in
+        d = jnp.where(move_in, d_in, jnp.where(vacated, -1, d))
+        arrs = [
+            jnp.where(move_in, jnp.roll(a, -s, axis=0), a) for a in arrs
+        ]
+    n_live = jnp.sum(lv, axis=0)                     # [B]
+    keep = idx[:cap] < n_live[None, :]
+    return [a[:cap] for a in arrs], keep, n_live
+
+
 def rot_components(lon, lat, roll):
     """The 9 rotation-matrix entries of sampling.build_rotation as a tuple
     (r00..r22), row-major, world = R @ crystal."""

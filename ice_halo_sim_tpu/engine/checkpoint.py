@@ -37,6 +37,11 @@ def save_checkpoint(path: str, engine: Engine) -> None:
         "batch_counter": engine.batch_counter,
         "stats": stats._asdict(),
         "n_accum": len(engine.accum),
+        # Calibration state that affects VALUES, not just speed: the slot
+        # cap changes which (negligible, accounted) exit rows accumulate,
+        # so a resumed engine must reuse the saved cap instead of
+        # recalibrating from a different dispatch (bit-exact resume).
+        "slot_cap": engine._slot_cap,
     }
     if engine._sandwich_on:
         # Canonical DENSE form: assemble the MXU tiles into [P, 3] images so
@@ -107,4 +112,7 @@ def load_checkpoint(path: str) -> Engine:
             engine.accum = accum
         engine.batch_counter = int(header["batch_counter"])
         engine.stats = Stats(**header["stats"])
+        if header.get("slot_cap") is not None:
+            engine._slot_cap = int(header["slot_cap"])
+            engine._recompute_rows_per_render()
     return engine

@@ -176,6 +176,22 @@ class Engine:
         # overhead. Measured (scripts/probe_weights.py, bench scene): 1e-3
         # cuts ~20% of live rows at ~1e-5 relative mass loss.
         self.min_emit_frac = float(env_knobs.get("IHT_MIN_EMIT_W", 1e-3))
+        # Per-ray exit-slot cap: the fold's cost is per contribution row and
+        # deep exit slots are mostly dead (bench: slot-6 liveness 11%).
+        # After per-ray slot compaction (trace_soa.compact_slots) the rows
+        # are sliced to `_slot_cap`. None = calibrating: the first dispatch
+        # measures the per-live-rank mass histogram and picks the smallest
+        # cap whose dropped tail is < 1e-4 of emitted mass (usually zero
+        # loss is impossible to distinguish from Monte-Carlo noise there);
+        # the dropped mass is always accounted into dropped_cont_weight.
+        # IHT_SLOT_CAP: "off" disables, an int pins it.
+        cap_knob = env_knobs.get("IHT_SLOT_CAP")
+        if cap_knob is None or str(cap_knob) == "auto":
+            self._slot_cap = None
+        elif str(cap_knob).lower() in ("off", "0"):
+            self._slot_cap = self.max_hits
+        else:
+            self._slot_cap = max(1, min(self.max_hits, int(cap_knob)))
         self._recompute_rows_per_render()
         self._sandwich_degraded = False
         self._sandwich_setup()
@@ -199,10 +215,12 @@ class Engine:
     _C_SORT_ROW = 4.2e-6
 
     def _recompute_rows_per_render(self) -> None:
-        # Static contribution-row count per render per batch.
+        # Static contribution-row count per render per batch (slot-capped).
+        cap = self._slot_cap if self._slot_cap is not None else self.max_hits
+        cap = min(cap, self.max_hits)
         self._rows_per_render = [
             sum(
-                len(plan.setting_idx) * self.max_hits
+                len(plan.setting_idx) * cap
                 for plan in self.layers
             ) * (2 if p.max_abs_dz > 0.0 else 1)
             for p in self.proj_plans
@@ -1096,6 +1114,7 @@ class Engine:
 
         carried_mask = jnp.zeros((B,), jnp.uint32)
         seg_count = jnp.uint32(0)
+        slot_mass = jnp.zeros((self.max_hits,), jnp.float32)
         cont_demand = []   # pre-truncation continuation counts per boundary
         n_layers = len(self.layers)
         for li, plan in enumerate(self.layers):
@@ -1240,12 +1259,47 @@ class Engine:
                 tiny = acc_w < w_cut
                 dropped_w = dropped_w + jnp.sum(jnp.where(tiny, acc_w, 0.0))
                 acc_w = jnp.where(tiny, 0.0, acc_w)
-            flat_w = acc_w.reshape(-1)
-            flat_dx = exits.dx.reshape(-1)
-            flat_dy = exits.dy.reshape(-1)
-            flat_dz = exits.dz.reshape(-1)
-            flat_mask = exit_mask.reshape(-1)
-            flat_idx = jnp.broadcast_to(wl_idx[None, :], exit_w.shape).reshape(-1)
+            cap = self._slot_cap if self._slot_cap is not None else H
+            if self._slot_cap is None:
+                # Calibration dispatch: per-live-rank mass histogram (no
+                # compaction yet) — rank c's mass is what a cap of c would
+                # drop from this slot downward.
+                lv = (acc_w > 0.0).astype(jnp.int32)
+                rank = jnp.cumsum(lv, axis=0) - lv
+                slot_mass = slot_mass + jnp.stack([
+                    jnp.sum(jnp.where((lv > 0) & (rank == c), acc_w, 0.0))
+                    for c in range(H)
+                ])
+            if cap < H:
+                # Per-ray live-first slot compaction (trace_soa.compact_slots)
+                # — drops 30-70% of fold rows; rays with more than `cap`
+                # live exits lose their deepest ones, accounted below.
+                mask_cols = [exit_mask] if n_classes else []
+                comp, keep_m, _nl = trace_soa.compact_slots(
+                    acc_w > 0.0,
+                    [acc_w, exits.dx, exits.dy, exits.dz] + mask_cols,
+                    cap,
+                )
+                cw = jnp.where(keep_m, comp[0], 0.0)
+                dropped_w = dropped_w + jnp.sum(acc_w) - jnp.sum(cw)
+                flat_w = cw.reshape(-1)
+                flat_dx = comp[1].reshape(-1)
+                flat_dy = comp[2].reshape(-1)
+                flat_dz = comp[3].reshape(-1)
+                flat_mask = (
+                    jnp.where(keep_m, comp[4], 0).reshape(-1)
+                    if n_classes else jnp.zeros_like(flat_w, jnp.uint32).reshape(-1)
+                )
+                flat_idx = jnp.broadcast_to(
+                    wl_idx[None, :], (cap, exit_w.shape[1])
+                ).reshape(-1)
+            else:
+                flat_w = acc_w.reshape(-1)
+                flat_dx = exits.dx.reshape(-1)
+                flat_dy = exits.dy.reshape(-1)
+                flat_dz = exits.dz.reshape(-1)
+                flat_mask = exit_mask.reshape(-1)
+                flat_idx = jnp.broadcast_to(wl_idx[None, :], exit_w.shape).reshape(-1)
 
             # The XYZ + per-class Y-lane channels are NOT expanded here: a
             # contribution row is (pixel, weight, wl-pool idx, mask) and the
@@ -1371,7 +1425,8 @@ class Engine:
             jnp.stack(cont_demand) if cont_demand
             else jnp.zeros((0,), jnp.uint32)
         )
-        return contribs, jnp.stack(landed_add), dropped_w, seg_count, cont_demand
+        return (contribs, jnp.stack(landed_add), dropped_w, seg_count,
+                cont_demand, slot_mass)
 
     def _expand_vals(self, w, wl_idx, mask, batch_counter):
         """Dense [N, 3+L] channel rows from spectral rows (the non-spectral
@@ -1412,7 +1467,7 @@ class Engine:
         Returns (accum', dropped_w, seg_count, live_counts[R],
         cont_demand[L-1]) — the counts feed host-side calibration.
         """
-        contribs, landed_add, dropped_w, seg_count, cont_demand = (
+        contribs, landed_add, dropped_w, seg_count, cont_demand, slot_mass = (
             self._trace_batch_impl(batch_base, batch_counter, n_active, base_hi)
         )
         method = self._resolved_accum_method()
@@ -1441,7 +1496,7 @@ class Engine:
                 lasts.append(n_last)
             return (
                 tuple(out) + (landed,), dropped_w, seg_count,
-                jnp.stack(lives + lasts), cont_demand,
+                jnp.stack(lives + lasts), cont_demand, slot_mass,
             )
         xyz_acc = list(accum[:-1])
         live_counts = []
@@ -1502,7 +1557,7 @@ class Engine:
                 )
         return (
             tuple(xyz_acc) + (landed,), dropped_w, seg_count,
-            jnp.stack(live_counts), cont_demand,
+            jnp.stack(live_counts), cont_demand, slot_mass,
         )
 
     # ------------------------------------------------------------------
@@ -1537,20 +1592,21 @@ class Engine:
         n_bounds = max(0, len(self.layers) - 1)
 
         def body(i, carry):
-            acc, dropped, segs, live, cont = carry
+            acc, dropped, segs, live, cont, sm = carry
             counter = counter0 + jnp.uint32(i)
             # Full 64-bit ray base (counter * stride) as (lo, hi) words —
             # the hi epoch feeds the per-ray seed mix (trace_backend.hpp:
             # 160-190; streams must not repeat past 2^32 rays).
             base_lo, base_hi = rng.mul_u32_split(counter, stride)
-            acc, d, s, lv, cd = self._step_impl(
+            acc, d, s, lv, cd, m = self._step_impl(
                 acc, base_lo, counter, keep, plan_version, None, base_hi
             )
-            return (acc, dropped + d, segs + s, live + lv, cont + cd)
+            return (acc, dropped + d, segs + s, live + lv, cont + cd, sm + m)
 
         carry = (accum, jnp.float32(0.0), jnp.uint32(0),
                  jnp.zeros((n_renders,), jnp.uint32),
-                 jnp.zeros((n_bounds,), jnp.uint32))
+                 jnp.zeros((n_bounds,), jnp.uint32),
+                 jnp.zeros((self.max_hits,), jnp.float32))
         if self.any_pyramid and jax.default_backend() != "cpu":
             for i in range(n_steps):
                 carry = body(i, carry)
@@ -1582,7 +1638,7 @@ class Engine:
                 if k == 1:
                     base = (self.batch_counter * self.batch_size
                             * max(1, len(self.layers) + 1))
-                    self.accum, dropped, segs, live, cont = self._step(
+                    self.accum, dropped, segs, live, cont, smass = self._step(
                         self.accum,
                         jnp.uint32(base & 0xFFFFFFFF),
                         jnp.uint32(self.batch_counter),
@@ -1592,7 +1648,7 @@ class Engine:
                         jnp.uint32((base >> 32) & 0xFFFFFFFF),
                     )
                 else:
-                    self.accum, dropped, segs, live, cont = self._multi_step(
+                    self.accum, dropped, segs, live, cont, smass = self._multi_step(
                         self.accum, jnp.uint32(self.batch_counter), k, keep,
                         self._plan_version,
                     )
@@ -1632,7 +1688,7 @@ class Engine:
             self._pending_dropped.append(dropped)
             self._pending_segments.append(segs)
             if not self._calibrated and not is_tail:
-                self._maybe_calibrate(live, cont, k)
+                self._maybe_calibrate(live, cont, k, smass)
         self.stats = self.stats._replace(
             rays_traced=self.stats.rays_traced + rays_requested,
             stochastic_crystal_samples=self.stats.stochastic_crystal_samples
@@ -1652,7 +1708,7 @@ class Engine:
         )
         return self.stats
 
-    def _maybe_calibrate(self, live, cont, n_steps: int) -> None:
+    def _maybe_calibrate(self, live, cont, n_steps: int, slot_mass=None) -> None:
         """One-shot runtime calibration from the first dispatch's measured
         counts (one host sync).
 
@@ -1672,6 +1728,35 @@ class Engine:
         dispatch size), so equal runs stay bit-comparable.
         """
         self._calibrated = True
+        if self._slot_cap is None and slot_mass is not None:
+            # Exit-slot cap: smallest cap whose dropped per-ray live-rank
+            # tail is under 1e-4 of emitted mass (indistinguishable from
+            # Monte-Carlo noise at any realistic ray budget; still honestly
+            # accounted into dropped_cont_weight every batch). A cap that
+            # saves no rows stays at H (no retrace churn).
+            m = np.asarray(slot_mass, np.float64)
+            total = float(m.sum())
+            H = self.max_hits
+            cap = H
+            if total > 0:
+                tail = np.cumsum(m[::-1])[::-1]        # tail[c] = mass at rank >= c
+                for c in range(1, H):
+                    if tail[c] <= 1e-4 * total:
+                        cap = c
+                        break
+            self._slot_cap = cap
+            if cap < H:
+                self._recompute_rows_per_render()
+                self._plan_version += 1
+                from ice_halo_sim_tpu.utils.log import get_logger
+
+                get_logger("engine").info(
+                    "slot cap calibrated: %d of %d exit slots "
+                    "(tail mass %.2e of total)", cap, H,
+                    float(tail[cap] / total) if total > 0 else 0.0,
+                )
+        elif self._slot_cap is None:
+            self._slot_cap = self.max_hits
         cont_avg = np.asarray(cont, np.float64) / max(1, n_steps)
         if len(cont_avg):
             caps = [None]

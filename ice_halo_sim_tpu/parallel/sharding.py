@@ -62,6 +62,12 @@ class ShardedEngine:
             self.engine._calibrating = False
             self.engine._calibrated = True
             self.engine.reset()
+        # Slot-cap calibration is single-chip machinery (host sync +
+        # retrace); the sharded engine runs uncapped (exact by
+        # construction; cap only trims fold rows for speed).
+        if self.engine._slot_cap is None:
+            self.engine._slot_cap = self.engine.max_hits
+        self.engine._calibrated = True
         self.cfg = cfg
         self.per_device_batch = per_device_batch
         self.batch_counter = 0
@@ -85,7 +91,7 @@ class ShardedEngine:
             carry = (local_base < batch_base).astype(jnp.uint32)
             local_hi = base_hi + off_hi + carry
             local_accum = jax.tree.map(lambda a: a[0], accum)
-            new_accum, dropped, segs, _live, _cont = self.engine._step_impl(
+            new_accum, dropped, segs, _live, _cont, _sm = self.engine._step_impl(
                 local_accum, local_base, batch_counter,
                 None, 0, None, local_hi,
             )

@@ -25,6 +25,10 @@ Knobs (all optional; unset means "use the code default"):
                      escape hatch for a Mosaic lowering regression.
   IHT_MIN_EMIT_W     emit-time weight floor (fraction of the batch's mean
                      initial ray weight); 0 disables.
+  IHT_SLOT_CAP       per-ray exit-slot cap for the accumulation fold:
+                     "auto" (calibrated; dropped tail < 1e-4 of emitted
+                     mass), "off", or an integer pin. Dropped mass is
+                     accounted into dropped_cont_weight.
   IHT_SANDWICH       "0"/"off" disables the matmul-sandwich MXU fold (the
                      renderer falls back to the sort fold).
   IHT_FOLD           fold dispatch: "auto" (default — calibrate between the
@@ -96,6 +100,15 @@ KNOBS: Dict[str, Knob] = {
             "fold dispatch: 'auto' (calibrated sandwich-vs-sort choice "
             "from the measured per-chunk row histogram), 'sandwich', or "
             "'sort'",
+            str,
+        ),
+        Knob(
+            "IHT_SLOT_CAP",
+            "per-ray exit-slot cap for the accumulation fold: 'auto' "
+            "(default — calibrate the smallest cap whose dropped live-rank "
+            "tail is < 1e-4 of emitted mass), 'off' (keep all max_hits "
+            "slots), or an integer pin. Dropped mass is accounted into "
+            "dropped_cont_weight either way.",
             str,
         ),
         Knob(

@@ -46,7 +46,7 @@ def main():
 
     # full trace+project (contribs)
     def traceproj(c):
-        contribs, landed, dw, segs, cd = eng._trace_batch_impl(
+        contribs, landed, dw, segs, cd, _sm = eng._trace_batch_impl(
             jnp.uint32(0), c.astype(jnp.uint32)
         )
         return [contribs[0][0], contribs[0][1]]
@@ -54,7 +54,7 @@ def main():
 
     # full step (fold included)
     def step(c):
-        acc, dw, segs, live, cd = eng._step_impl(
+        acc, dw, segs, live, cd, _sm = eng._step_impl(
             eng.accum, jnp.uint32(0), c.astype(jnp.uint32)
         )
         return [acc[0]]

@@ -316,7 +316,7 @@ def test_ray_base_hi_epoch_changes_streams():
     eng = Engine(cfg, seed=11, batch_size=1 << 12, accum_method="scatter")
 
     def rows(hi):
-        contribs, _landed, _dw, _segs, _cd = eng._trace_batch_impl(
+        contribs, _landed, _dw, _segs, _cd, _sm = eng._trace_batch_impl(
             jnp.uint32(12345), jnp.uint32(0), None, jnp.uint32(hi)
         )
         pix, w, wl_idx, _mask = contribs[0]
