@@ -213,6 +213,15 @@ class Engine:
     # ~1.3 ns/row + ~1 ms. Used by the calibrated fold dispatch.
     _C_SORT_FIX = 4.3
     _C_SORT_ROW = 4.2e-6
+    # Compaction keep margin over the measured per-batch live rows. Batch-
+    # to-batch live-count CoV measures ~0.1% on the bench scenes (the live
+    # count is a sum over ~1e6 near-independent Bernoulli rows), so 6% is
+    # tens of sigmas; an overflowing batch still falls back to the exact
+    # uncompacted fold via lax.cond (correctness never depends on this).
+    # r4: trimmed from 1.15 — sort cost is linear in keep (~2.2 ns/row at
+    # bench shapes), so the old margin paid ~0.45 ms/batch for headroom
+    # the fallback already provides.
+    _KEEP_MARGIN = 1.06
 
     def _recompute_rows_per_render(self) -> None:
         # Static contribution-row count per render per batch (slot-capped).
@@ -516,7 +525,7 @@ class Engine:
         order = np.argsort(rows_per_chunk)[::-1]
         prefix = np.concatenate([[0.0], np.cumsum(rows_per_chunk[order])])
         cap = self._SCATTER_VMEM_ROWS
-        keep0 = min(n_rows, max(blk, ceil_to(live_rows * 1.15, blk)))
+        keep0 = min(n_rows, max(blk, ceil_to(live_rows * self._KEEP_MARGIN, blk)))
         if keep0 > 0.75 * n_rows or keep0 > cap:
             # Compaction doesn't pay (mostly-live rows) or would fall off
             # the VMEM scatter path: run level 0 on the raw rows.
@@ -611,7 +620,7 @@ class Engine:
                 )
                 new_levels.append(levels)
                 sandwich_ms += cost
-            keep_s = min(n_rows, max(1.0, live * 1.15))
+            keep_s = min(n_rows, max(1.0, live * self._KEEP_MARGIN))
             sort_ms += (
                 self._C_PACK * n_rows
                 + self._C_SORT_FIX
@@ -1370,8 +1379,18 @@ class Engine:
                 mask_cols = (
                     [exit_mask.reshape(-1)] if n_classes else []
                 )
-                cols = [cont_w_all, flat_idx] + mask_cols + [
-                    flat_dx, flat_dy, flat_dz,
+                # Continuation columns come from the UNCAPPED [H, B] exits:
+                # cont_w_all/key are built from exit_w, and the slot cap
+                # only trims ACCUMULATION rows — reusing the capped flat_*
+                # here mixed [cap*B] columns into an [H*B] compaction
+                # (shape crash on any cap < H multi-layer scene; r4
+                # regression, tests/test_sentinels.py slot-cap sentinel).
+                cols = [
+                    cont_w_all,
+                    jnp.broadcast_to(wl_idx[None, :], exit_w.shape).reshape(-1),
+                ] + mask_cols + [
+                    exits.dx.reshape(-1), exits.dy.reshape(-1),
+                    exits.dz.reshape(-1),
                 ]
                 eff_cap = min(cap, n_rows)
 
@@ -1719,7 +1738,7 @@ class Engine:
            so the jitted step retraces.
         2. Dead-row fold compaction: pays when well under ~60% of
            contribution rows are live (the prepass costs one extra block
-           rowsort); margin 1.15x absorbs per-batch Monte-Carlo
+           rowsort); margin _KEEP_MARGIN absorbs per-batch Monte-Carlo
            fluctuation, and an overflowing batch falls back to the
            uncompacted fold inside the step (lax.cond), so a bad
            calibration costs speed, never correctness.
@@ -1795,7 +1814,7 @@ class Engine:
             # prepass keeps; the global fold sort then runs on keep + P
             # rows. Worth the extra block sort only when it meaningfully
             # shortens the superlinear global sort.
-            target = int(np.ceil(live_avg[r] * 1.15 / block)) * block
+            target = int(np.ceil(live_avg[r] * self._KEEP_MARGIN / block)) * block
             if n_rows >= 2 * block and target <= 0.6 * n_rows:
                 keep.append(max(block, target))
             else:

@@ -386,3 +386,40 @@ def test_engine_run_wires_hi_epoch():
     assert not np.array_equal(img_lo, img_hi), (
         "batch at ray base 2^32 repeated the base-0 streams"
     )
+
+
+def test_slot_cap_multilayer_continuation_unaffected(monkeypatch):
+    """The exit-slot cap trims ACCUMULATION rows only; continuation to the
+    next MS layer is built from the uncapped [H, B] exits. r4 regression:
+    the cap's introduction reused slot-capped direction/wl columns in the
+    continuation compaction, which crashed (shape mismatch) on any
+    multi-layer scene once the calibrated cap fell below max_hits — and
+    would have traced layer-1 rays with wrong directions had the shapes
+    happened to agree. Pins: (a) a pinned cap < max_hits runs a 2-layer
+    scene, (b) continuation statistics (ray segments, which count both
+    layers) match the uncapped run exactly, (c) mass conservation holds:
+    landed + dropped is invariant under the cap."""
+    cfg = load_project_file(f"{CONFIG_DIR}/ms_multi_crystal.json")
+
+    def run_with(cap_env):
+        if cap_env is None:
+            monkeypatch.delenv("IHT_SLOT_CAP", raising=False)
+        else:
+            monkeypatch.setenv("IHT_SLOT_CAP", cap_env)
+        eng = Engine(cfg, seed=13, batch_size=1 << 13)
+        eng.run(n_batches=2)
+        eng.drain_stats()
+        landed = float(np.asarray(eng.accum[-1]).sum())
+        return eng, landed
+
+    capped, landed_c = run_with("1")
+    assert capped._slot_cap == 1
+    uncapped, landed_u = run_with("off")
+    assert uncapped._slot_cap == uncapped.max_hits
+    # Continuation is identical: segment counts include layer-1 work.
+    assert capped.stats.ray_segments == uncapped.stats.ray_segments
+    # The cap moved deep-slot mass from landed into dropped, nothing lost.
+    total_c = landed_c + capped.stats.dropped_cont_weight
+    total_u = landed_u + uncapped.stats.dropped_cont_weight
+    np.testing.assert_allclose(total_c, total_u, rtol=1e-4)
+    assert landed_c < landed_u  # cap=1 genuinely drops deep exits here
