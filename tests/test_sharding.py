@@ -34,14 +34,19 @@ SCRIPT = textwrap.dedent(
     se.run(n_batches=2)
     xyz_sharded = se.raw_xyz(0)
 
-    # Oracle: one single-device engine consuming the same global index space.
+    # Oracle: one single-device engine consuming the same global index
+    # space, PRE-CALIBRATED exactly like the sharded engine's inner engine
+    # (same scene/seed/batch => same slot cap / keep / plan, r4).
     e = Engine(cfg, seed=9, batch_size=B)
+    e.run(n_batches=1)
+    e.reset()
     accum = e.accum
     span = B * (len(e.layers) + 1)
     for counter in range(2):
         for dev in range(8):
             base = (counter * 8 * span + dev * span) & 0xFFFFFFFF
-            accum = e._step(accum, np.uint32(base), np.uint32(counter), None, 0)[0]
+            accum = e._step(accum, np.uint32(base), np.uint32(counter),
+                            e._compact_keep, e._plan_version)[0]
     p = e.proj_plans[0]
     xyz_ref = np.asarray(accum[0][:, :3]).reshape(p.height, p.width, 3)
 
@@ -122,14 +127,18 @@ MS_SCRIPT = textwrap.dedent(
     xyz_sharded = se.raw_xyz(0)
 
     # Oracle: one single-device engine consuming the same global index space
-    # (device d's rays = base + d * span — identical RNG streams).
+    # (device d's rays = base + d * span — identical RNG streams),
+    # pre-calibrated exactly like the sharded engine's inner engine (r4).
     e = Engine(cfg, seed=11, batch_size=B)
+    e.run(n_batches=1)
+    e.reset()
     accum = e.accum
     span = B * (len(e.layers) + 1)
     for counter in range(2):
         for dev in range(8):
             base = (counter * 8 * span + dev * span) & 0xFFFFFFFF
-            accum = e._step(accum, np.uint32(base), np.uint32(counter), None, 0)[0]
+            accum = e._step(accum, np.uint32(base), np.uint32(counter),
+                            e._compact_keep, e._plan_version)[0]
     p = e.proj_plans[0]
     xyz_ref = np.asarray(accum[0][:, :3]).reshape(p.height, p.width, 3)
 
@@ -178,8 +187,12 @@ SANDWICH_SCRIPT = textwrap.dedent(
 
     cfg = load_project(SMOKE_CFG)
     B = 2048
+    # calibrate=False: this test pins the sandwich MECHANISM under
+    # shard_map against the scatter oracle; the calibrated-dispatch path
+    # (which may legitimately demote to sort) is covered by
+    # test_sharded_equals_sequential and __graft_entry__.dryrun_multichip.
     se = ShardedEngine(cfg, make_mesh(), seed=9, per_device_batch=B,
-                       accum_method="sort")
+                       accum_method="sort", calibrate=False)
     assert se.engine._sandwich_on, "sandwich did not engage under shard_map"
     se.run(n_batches=2)
     assert se.engine.fold_kind == "sandwich", se.engine.fold_kind
