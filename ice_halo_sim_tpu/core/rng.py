@@ -32,6 +32,7 @@ NONCE_SUN = np.uint32(0x27D4EB2F)
 NONCE_ENTRY = np.uint32(0x165667B1)
 NONCE_GATE = np.uint32(0xD3A2646C)
 NONCE_SHUFFLE = np.uint32(0xFD7046C5)
+NONCE_EMIT = np.uint32(0x94D049BB)   # emit-floor Russian-roulette draws
 
 _U32 = jnp.uint32
 TWO_PI = 2.0 * np.pi

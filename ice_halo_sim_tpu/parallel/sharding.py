@@ -63,6 +63,7 @@ class ShardedEngine:
             # uncompacted fold).
             self.engine.run(n_batches=1)
             self.engine.reset()
+            self._assert_calibration_agreement()
         else:
             if self.engine._sandwich_on:
                 # Sandwich under shard_map: the chunk lists are engine-level
@@ -148,6 +149,50 @@ class ShardedEngine:
             drain, out_shardings=NamedSharding(self.mesh, P())
         )
         self.reset()
+
+    def _calibration_digest(self) -> np.ndarray:
+        """Flat int64 digest of every calibrated static plan parameter the
+        shard_map step freezes in: slot cap, plan version, per-render keep
+        budgets, continuation capacities, and sandwich level shapes."""
+        eng = self.engine
+        parts = [eng._slot_cap or -1, eng._plan_version,
+                 1 if eng._sandwich_on else 0]
+        keep = eng._compact_keep or ()
+        parts += [(-1 if k is None else k) for k in keep]
+        parts += [len(p.setting_idx) for p in eng.layers]
+        if eng._sandwich_on:
+            for levels in eng._levels:
+                for clist, kb in levels:
+                    parts += [int(clist.shape[0]), -1 if kb is None else kb]
+        # Fixed length so process_allgather never shape-mismatches even
+        # when the structural plans themselves diverged.
+        out = np.zeros(64, np.int64)
+        out[: min(64, len(parts))] = parts[:64]
+        out[-1] = len(parts)
+        return out
+
+    def _assert_calibration_agreement(self) -> None:
+        """On a multi-process runtime, verify every process calibrated the
+        SAME static plan (ADVICE r4 #2): calibration is a deterministic
+        function of (scene, seed, batch size), but a heterogeneous device
+        fleet or backend nondeterminism would yield divergent SPMD programs
+        that hang or corrupt silently instead of erroring. One tiny
+        all-gather at startup turns that into a clear failure."""
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        digest = self._calibration_digest()
+        gathered = np.asarray(
+            multihost_utils.process_allgather(digest)
+        ).reshape(jax.process_count(), -1)
+        if not (gathered == gathered[0]).all():
+            raise RuntimeError(
+                "calibrated plans diverged across processes: "
+                f"{gathered.tolist()} — heterogeneous local devices or "
+                "nondeterministic calibration counts; pin IHT_SLOT_CAP / "
+                "IHT_COMPACT=0 or use calibrate=False"
+            )
 
     def reset(self) -> None:
         shard = NamedSharding(self.mesh, P("rays"))

@@ -25,6 +25,8 @@ Knobs (all optional; unset means "use the code default"):
                      escape hatch for a Mosaic lowering regression.
   IHT_MIN_EMIT_W     emit-time weight floor (fraction of the batch's mean
                      initial ray weight); 0 disables.
+  IHT_EMIT_FLOOR     floor mechanism: "rr" (default, unbiased Russian
+                     roulette) or "drop" (biased hard drop).
   IHT_SLOT_CAP       per-ray exit-slot cap for the accumulation fold:
                      "auto" (calibrated; dropped tail < 1e-4 of emitted
                      mass), "off", or an integer pin. Dropped mass is
@@ -114,14 +116,23 @@ KNOBS: Dict[str, Knob] = {
         Knob(
             "IHT_MIN_EMIT_W",
             "emit-time weight floor as a fraction of the batch's mean "
-            "initial ray weight; exits below it are dropped from the "
-            "accumulation fold (mass accounted into dropped weight). "
-            "0 disables. Default 1e-3: measured on the bench scene this "
-            "cuts ~20% of live fold rows at ~1e-5 relative mass loss — "
-            "far below Monte-Carlo noise at any realistic ray budget.",
+            "initial ray weight; exits below it are thinned from the "
+            "accumulation fold (see IHT_EMIT_FLOOR for the mechanism; net "
+            "mass delta accounted into dropped weight). 0 disables. "
+            "Default 1e-3: measured on the bench scene this cuts ~20% of "
+            "live fold rows.",
             float,
             lo=0.0,
             hi=0.1,
+        ),
+        Knob(
+            "IHT_EMIT_FLOOR",
+            "emit-floor mechanism: 'rr' (default — Russian roulette: a "
+            "sub-threshold exit survives with probability w/cut at weight "
+            "cut; UNBIASED, expected image identical to floorless) or "
+            "'drop' (biased hard drop, ~1e-5 relative mass loss at the "
+            "default threshold, mass accounted).",
+            str,
         ),
     ]
 }

@@ -162,9 +162,22 @@ def main(argv=None) -> int:
                     )
                     break
                 except Exception as exc:  # noqa: BLE001 — HBM OOM at compile
+                    # Halve ONLY on memory/compile-capacity failures; any
+                    # other error is a real bug and must fail loudly
+                    # (ADVICE r4 #1: the blanket retry masked the r4
+                    # continuation-shape crash as a "memory fit" decision).
+                    msg = str(exc)
+                    is_oom = any(
+                        s in msg
+                        for s in ("RESOURCE_EXHAUSTED", "out of memory",
+                                  "Out of memory", "exceeds the limit",
+                                  "Attempting to allocate")
+                    )
+                    if not is_oom:
+                        raise
                     if attempt == 3 or b <= 8192:
                         cell = {"scene": scene, "resolution": [w, h],
-                                "error": str(exc)[:300]}
+                                "error": msg[:300]}
                         break
                     b //= 2
             print(json.dumps(cell), flush=True)
