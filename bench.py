@@ -70,8 +70,11 @@ def main() -> int:
     platform = jax.devices()[0].platform
     from ice_halo_sim_tpu.utils import env_knobs
 
+    # 256k measured optimal with the Pallas trace megakernel (r5): the
+    # kernel's cost is linear in rays while lax.sort is superlinear in fold
+    # rows, so the knee moved down from the r4 512k.
     batch = env_knobs.get(
-        "IHT_BATCH_SIZE", 1 << 19 if platform != "cpu" else 1 << 17
+        "IHT_BATCH_SIZE", 1 << 18 if platform != "cpu" else 1 << 17
     )
     cfg = load_project(BENCH_CFG)
     engine = Engine(cfg, seed=7, batch_size=batch)
@@ -128,6 +131,9 @@ def main() -> int:
         # why the calibrated dispatch chose it.
         "fold": engine.fold_kind,
         "fold_decision": engine.fold_decision,
+        # Which trace path produced this number (r5: the fused Pallas
+        # megakernel vs the XLA trace program).
+        "trace_path": engine.trace_path,
     }))
     return 0
 

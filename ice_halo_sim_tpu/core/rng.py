@@ -47,8 +47,15 @@ def pcg_hash(x):
 
 
 def u01(h):
-    """Uniform in [0, 1) from a 32-bit hash (pcg_shared.h:198-200)."""
-    return (h >> _U32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+    """Uniform in [0, 1) from a 32-bit hash (pcg_shared.h:198-200).
+
+    The u32 value is < 2^24 after the shift, so routing the float convert
+    through int32 is value-identical — and it is the form Mosaic can lower
+    (u32 -> f32 casts are unsupported in Pallas TPU kernels, which reuse
+    this module verbatim for stream-exact RNG parity)."""
+    return (h >> _U32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0
+    )
 
 
 def hi_epoch_seed(seed, base_hi):

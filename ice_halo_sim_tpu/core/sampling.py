@@ -236,6 +236,133 @@ def sample_lat_lon_roll_row(seed, idx, params: AxisParams, s: int):
     return lon, phi, roll
 
 
+def _rot9(ca, sa, cb, sb, cc, sc):
+    """Row-major R = Rz(a) @ Ry(b) @ Rz(c) from the six cos/sin values
+    (same closed form as trace_soa.rot_components / build_rotation)."""
+    return (
+        ca * cb * cc - sa * sc, -ca * cb * sc - sa * cc, ca * sb,
+        sa * cb * cc + ca * sc, -sa * cb * sc + ca * cc, sa * sb,
+        -sb * cc, sb * sc, cb,
+    )
+
+
+def sample_rot_row(seed, idx, params: AxisParams, s: int, lut_loop: bool = False):
+    """Orientation sample -> the 9 rotation components directly, for rays of
+    ONE setting (same RNG slots/streams as sample_lat_lon_roll_row).
+
+    The full-sphere path is CLOSED FORM: with u = 2*xi - 1 the rotation
+    needs only cb = cos(phi - pi/2) = sin(phi) = u and sb = -cos(phi) =
+    -sqrt(1 - u^2) — no arcsin. That makes this function reusable verbatim
+    inside Pallas TPU kernels (Mosaic has no inverse-trig lowering) and
+    saves an arcsin+cos+sin chain on the XLA path; the sampled rotation is
+    identical up to ulps (sin(arcsin(u)) == u).
+
+    lut_loop=True replaces invert_lat_lut's [B, N]-masked formulation with
+    an equivalent static unrolled loop over the (257) LUT nodes — the
+    Mosaic-friendly form (no [B, 257] temporaries); identical values.
+    """
+    pi = jnp.float32(np.pi)
+    lat_path = int(params.lat_path[s])
+    lat_mean = params.lat_mean[s]
+    flip = None
+
+    if lat_path == LAT_FULL_SPHERE:
+        u_fs = rng.uniform(seed, idx, 0) * 2.0 - 1.0
+        u_fs = jnp.clip(u_fs, -1.0, 1.0)
+        cb = u_fs
+        sb = -jnp.sqrt(jnp.maximum(1.0 - u_fs * u_fs, 0.0))
+        lon = rng.uniform(seed, idx, 1) * jnp.float32(2 * np.pi)
+    else:
+        if lat_path == LAT_NO_RANDOM:
+            phi = jnp.broadcast_to(lat_mean, jnp.shape(idx)).astype(jnp.float32)
+        elif lat_path == LAT_GAUSS_LEGACY:
+            raw = rng.sample_dist(
+                seed, idx, 2, int(DistType.GAUSS_LEGACY), lat_mean,
+                params.lat_std[s],
+            )
+            phi, flip = normalize_latitude(raw)
+        else:  # LAT_LUT_INVERSE_CDF
+            xi = rng.uniform(seed, idx, 4)
+            theta_nodes = params.lut_theta[s]
+            cdf_nodes = params.lut_cdf[s]
+            flip_tbl = params.lut_flip[s]
+            if lut_loop:
+                colat = _invert_lat_lut_loop(xi, theta_nodes, cdf_nodes)
+                flip_p = _flip_prob_loop(colat, theta_nodes, flip_tbl)
+            else:
+                theta_j = jnp.asarray(theta_nodes)
+                colat = invert_lat_lut(xi, theta_j, jnp.asarray(cdf_nodes))
+                fbin = lat_lut_bin(colat, theta_j)
+                flip_p = hw.take_rows(jnp.asarray(flip_tbl), fbin)
+            phi = jnp.float32(np.pi / 2) - colat
+            flip = rng.uniform(seed, idx, 5) < flip_p
+        b = phi - pi / 2
+        cb = jnp.cos(b)
+        sb = jnp.sin(b)
+        lon = rng.sample_dist(
+            seed, idx, 6, int(params.az_type[s]), params.az_mean[s],
+            params.az_std[s],
+        )
+    roll = rng.sample_dist(
+        seed, idx, 8, int(params.roll_type[s]), params.roll_mean[s],
+        params.roll_std[s],
+    )
+    if flip is not None:
+        lon = jnp.where(flip, lon + pi, lon)
+        roll = jnp.where(flip, roll + pi, roll)
+    a = lon - pi
+    return _rot9(
+        jnp.cos(a), jnp.sin(a), cb, sb, jnp.cos(roll), jnp.sin(roll)
+    )
+
+
+def _invert_lat_lut_loop(xi, theta_nodes, cdf_nodes):
+    """invert_lat_lut as a static unrolled node loop (identical values:
+    the masked max/min over a monotone CDF is reproduced by ascending
+    last-write selects). theta/cdf nodes are host numpy arrays."""
+    import numpy as _np
+
+    n = len(cdf_nodes)
+    c_first = float(cdf_nodes[0])
+    c_last = float(cdf_nodes[-1])
+    xi = jnp.clip(xi, c_first, c_last)
+    neg = jnp.float32(-3.0e38)
+    pos = jnp.float32(3.0e38)
+    lo_cnt = jnp.zeros(jnp.shape(xi), jnp.int32)
+    c0 = jnp.full(jnp.shape(xi), neg)
+    c1 = jnp.full(jnp.shape(xi), pos)
+    for j in range(n):
+        cv = float(cdf_nodes[j])
+        cmp = jnp.float32(cv) <= xi
+        lo_cnt = lo_cnt + cmp.astype(jnp.int32)
+        if j < n - 1:
+            c0 = jnp.where(cmp, jnp.float32(cv), c0)  # ascending: last wins
+        c1 = jnp.where((~cmp) & (c1 >= pos), jnp.float32(cv), c1)
+    c1 = jnp.minimum(c1, jnp.float32(c_last))
+    lo = jnp.clip(lo_cnt - 1, 0, n - 2)
+    t0 = float(theta_nodes[0])
+    dt = (float(theta_nodes[-1]) - t0) / float(n - 1)
+    denom = c1 - c0
+    w = jnp.where(denom > 0, (xi - c0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    del _np
+    return jnp.float32(t0) + (lo.astype(jnp.float32) + w) * jnp.float32(dt)
+
+
+def _flip_prob_loop(theta, theta_nodes, flip_tbl):
+    """lat_lut_bin + flip-table read as a static unrolled select chain."""
+    t0 = float(theta_nodes[0])
+    span = float(theta_nodes[-1]) - t0
+    if span > 0:
+        t = (theta - jnp.float32(t0)) / jnp.float32(span)
+    else:
+        t = jnp.zeros_like(theta)
+    idx = jnp.clip((t * (N_NODES - 1)).astype(jnp.int32), 0, N_NODES - 2)
+    out = jnp.zeros(jnp.shape(theta), jnp.float32)
+    for j in range(N_NODES - 1):
+        out = jnp.where(idx == j, jnp.float32(float(flip_tbl[j])), out)
+    return out
+
+
 def sample_lat_lon_roll(seed, idx, params: AxisParams, setting_idx):
     """Compatibility wrapper: single-setting params ([1, ...]) only; the
     engine samples per contiguous setting segment via the row API."""

@@ -203,6 +203,7 @@ class Engine:
             self._slot_cap = self.max_hits
         else:
             self._slot_cap = max(1, min(self.max_hits, int(cap_knob)))
+        self._kernel_setup()
         self._recompute_rows_per_render()
         self._sandwich_degraded = False
         self._sandwich_setup()
@@ -234,7 +235,46 @@ class Engine:
     # the fallback already provides.
     _KEEP_MARGIN = 1.06
 
+    def _kernel_setup(self) -> None:
+        """Try to compile the fused Pallas trace megakernel for this scene
+        (core/pallas_trace.py — the TPU-native analog of the reference's
+        CUDA megakernel, cuda_trace_backend.cu:603-1219). Ineligible scenes
+        record the reason and keep the XLA trace path; both paths share the
+        RNG streams and per-op math, so the choice is a pure perf decision.
+        """
+        self._kernel_reason = None
+        self._trace_emit = None
+        self._trace_plan = None
+        from ice_halo_sim_tpu.core import pallas_trace
+
+        plan = pallas_trace.build_plan(self)
+        if plan is None:
+            from ice_halo_sim_tpu.utils.log import get_logger
+
+            get_logger("engine").info(
+                "pallas trace kernel off: %s", self._kernel_reason
+            )
+            return
+        self._trace_plan = plan
+        self._trace_emit = pallas_trace.make_trace_emit(plan)
+        # The in-kernel butterfly pack keeps EVERY live exit row — the
+        # per-ray slot cap (a fold-row bound for the XLA path) has no
+        # counterpart here, and no slot-cap calibration must run.
+        self._slot_cap = self.max_hits
+        self._kernel_reason = "on"
+
+    @property
+    def trace_path(self) -> str:
+        """'pallas-megakernel' or 'xla' — recorded in benchmark JSON."""
+        return "pallas-megakernel" if self._trace_emit is not None else "xla"
+
     def _recompute_rows_per_render(self) -> None:
+        if getattr(self, "_trace_emit", None) is not None:
+            g = self.batch_size // self._trace_plan.nr
+            self._rows_per_render = [
+                g * rb for rb in self._trace_plan.rows_block
+            ]
+            return
         # Static contribution-row count per render per batch (slot-capped).
         cap = self._slot_cap if self._slot_cap is not None else self.max_hits
         cap = min(cap, self.max_hits)
@@ -307,7 +347,9 @@ class Engine:
         # Loud dispatch matrix (round-2 VERDICT weak #5: ineligibility must
         # be a DOCUMENTED decision, not an invisible one). First reason wins.
         reason = None
-        if self._fold_choice == "sort":
+        if getattr(self, "_trace_emit", None) is not None:
+            reason = "pallas trace kernel emits packed sort keys"
+        elif self._fold_choice == "sort":
             reason = "pinned by IHT_FOLD=sort"
         elif self._resolved_accum_method() != "sort":
             reason = f"accum method {self._resolved_accum_method()!r} (CPU path)"
@@ -1153,25 +1195,27 @@ class Engine:
             layer_seed_vec = seed_vec ^ layer_nonce
 
             # Orientation: one contiguous segment per setting (static slices;
-            # no per-ray parameter gathers).
-            lons, lats, rolls = [], [], []
+            # no per-ray parameter gathers). sample_rot_row produces the 9
+            # rotation components directly — closed-form full-sphere path
+            # (no arcsin), shared verbatim with the Pallas trace kernel.
+            rot_parts = []
             off = 0
             for s, c in enumerate(plan.setting_counts):
                 if c == 0:
                     continue
-                lon_s, lat_s, roll_s = sampling.sample_lat_lon_roll_row(
-                    layer_seed_vec[off : off + c] ^ rng.NONCE_ORIENT,
-                    ray_idx[off : off + c],
-                    plan.axis_params, s,
+                rot_parts.append(
+                    sampling.sample_rot_row(
+                        layer_seed_vec[off : off + c] ^ rng.NONCE_ORIENT,
+                        ray_idx[off : off + c],
+                        plan.axis_params, s,
+                    )
                 )
-                lons.append(lon_s)
-                lats.append(lat_s)
-                rolls.append(roll_s)
                 off += c
-            lon = jnp.concatenate(lons) if len(lons) > 1 else lons[0]
-            lat = jnp.concatenate(lats) if len(lats) > 1 else lats[0]
-            roll = jnp.concatenate(rolls) if len(rolls) > 1 else rolls[0]
-            rot = trace_soa.rot_components(lon, lat, roll)
+            rot = tuple(
+                jnp.concatenate([p[i] for p in rot_parts])
+                if len(rot_parts) > 1 else rot_parts[0][i]
+                for i in range(9)
+            )
 
             exits = trace_soa.trace_layer_soa(
                 layer_seed_vec, ray_idx, d_world, w0, rot, pool, n_ior,
@@ -1471,6 +1515,67 @@ class Engine:
         return (contribs, jnp.stack(landed_add), dropped_w, seg_count,
                 cont_demand, slot_mass)
 
+    def _step_kernel_impl(self, accum, batch_base, batch_counter, keep,
+                          n_active, base_hi):
+        """One batch through the fused Pallas trace megakernel.
+
+        The kernel returns BLOCK-PACKED (key, w) contribution rows + per-
+        block live counts per render, plus partial stats. The fold side is
+        the existing sort fold; post-calibration a forward-overwrite block
+        scatter (pallas_ops.scatter_blocks) densifies the rows to the
+        calibrated `keep` prefix first — replacing the XLA path's
+        pack_spectral_keys + compact_valid prepass entirely.
+        """
+        from ice_halo_sim_tpu.core import pallas_ops
+
+        B = self.batch_size
+        bh = jnp.uint32(0) if base_hi is None else base_hi
+        na = jnp.uint32(B) if n_active is None else n_active
+        per_render, landed_add, dropped, segs = self._trace_emit(
+            batch_base, bh, na
+        )
+        landed = accum[-1] + landed_add
+        basis_fn = partial(self._xyz_basis, batch_counter=batch_counter)
+        xyz_acc = list(accum[:-1])
+        live_counts = []
+        for r, (keys, wvals, counts) in enumerate(per_render):
+            _g, blk = keys.shape
+            live = jnp.sum(counts).astype(jnp.uint32)
+            live_counts.append(live)
+
+            def fold_full(acc, keys=keys, wvals=wvals):
+                return accum_mod.fold_spectral_keys(
+                    acc, keys.reshape(-1), wvals.reshape(-1),
+                    self.k_pool, basis_fn,
+                )
+
+            kr = keep[r] if keep is not None else None
+            if kr is None:
+                xyz_acc[r] = fold_full(xyz_acc[r])
+                continue
+            start = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+            )
+            # Tail rows past the last write are zero-filled: key 0 is a
+            # zero-weight contribution to pixel 0, which folds to nothing
+            # (same contract as accum.compact_valid).
+            ck = pallas_ops.scatter_blocks(keys, start, kr, blk)
+            cw = pallas_ops.scatter_blocks(wvals, start, kr, blk)
+
+            def fold_prefix(acc, ck=ck, cw=cw):
+                return accum_mod.fold_spectral_keys(
+                    acc, ck, cw, self.k_pool, basis_fn
+                )
+
+            xyz_acc[r] = jax.lax.cond(
+                live <= jnp.uint32(kr), fold_prefix, fold_full, xyz_acc[r]
+            )
+        return (
+            tuple(xyz_acc) + (landed,), dropped, segs,
+            jnp.stack(live_counts), jnp.zeros((0,), jnp.uint32),
+            jnp.zeros((self.max_hits,), jnp.float32),
+        )
+
     def _expand_vals(self, w, wl_idx, mask, batch_counter):
         """Dense [N, 3+L] channel rows from spectral rows (the non-spectral
         fold paths: scatter on CPU, legacy sort when the key won't pack)."""
@@ -1510,6 +1615,10 @@ class Engine:
         Returns (accum', dropped_w, seg_count, live_counts[R],
         cont_demand[L-1]) — the counts feed host-side calibration.
         """
+        if self._trace_emit is not None:
+            return self._step_kernel_impl(
+                accum, batch_base, batch_counter, keep, n_active, base_hi
+            )
         contribs, landed_add, dropped_w, seg_count, cont_demand, slot_mass = (
             self._trace_batch_impl(batch_base, batch_counter, n_active, base_hi)
         )
@@ -1696,6 +1805,31 @@ class Engine:
                         self._plan_version,
                     )
             except Exception:  # noqa: BLE001
+                if self._trace_emit is not None:
+                    # Megakernel compile/runtime failure: degrade to the
+                    # XLA trace path (identical streams/semantics) instead
+                    # of bricking the run. Post-donation runtime failures
+                    # leave the accumulators deleted — re-raise (the same
+                    # probe-first rule as the sandwich fallback below).
+                    if any(
+                        getattr(a, "is_deleted", lambda: False)()
+                        for a in self.accum
+                    ):
+                        raise
+                    from ice_halo_sim_tpu.utils.log import get_logger
+
+                    get_logger("engine").exception(
+                        "pallas trace kernel failed; degrading to the XLA "
+                        "trace path (set IHT_PALLAS_TRACE=0 to silence)"
+                    )
+                    self._trace_emit = None
+                    self._trace_plan = None
+                    self._kernel_reason = "runtime failure; degraded to XLA"
+                    self._recompute_rows_per_render()
+                    self._compact_keep = None
+                    self._calibrated = False
+                    self._plan_version += 1
+                    continue
                 if not self._sandwich_on:
                     raise
                 # Runtime escape hatch (the round-1 lesson, VERDICT weak #3):

@@ -27,6 +27,9 @@ Knobs (all optional; unset means "use the code default"):
                      initial ray weight); 0 disables.
   IHT_EMIT_FLOOR     floor mechanism: "rr" (default, unbiased Russian
                      roulette) or "drop" (biased hard drop).
+  IHT_PALLAS_TRACE   "auto" (default) uses the fused Pallas trace
+                     megakernel on qualifying scenes; "0"/"off" forces the
+                     XLA trace path.
   IHT_SLOT_CAP       per-ray exit-slot cap for the accumulation fold:
                      "auto" (calibrated; dropped tail < 1e-4 of emitted
                      mass), "off", or an integer pin. Dropped mass is
@@ -124,6 +127,14 @@ KNOBS: Dict[str, Knob] = {
             float,
             lo=0.0,
             hi=0.1,
+        ),
+        Knob(
+            "IHT_PALLAS_TRACE",
+            "fused Pallas trace megakernel: 'auto' (default — used when "
+            "the scene qualifies: single layer, deterministic K==1 "
+            "geometry, no filters/color classes, non-inverse-trig lens), "
+            "'0'/'off' to force the XLA trace path.",
+            str,
         ),
         Knob(
             "IHT_EMIT_FLOOR",
