@@ -70,11 +70,12 @@ def main() -> int:
     platform = jax.devices()[0].platform
     from ice_halo_sim_tpu.utils import env_knobs
 
-    # 256k measured optimal with the Pallas trace megakernel (r5): the
-    # kernel's cost is linear in rays while lax.sort is superlinear in fold
-    # rows, so the knee moved down from the r4 512k.
+    # 104 kernel blocks (212992 rays) measured optimal with the Pallas
+    # trace megakernel (r5): the largest batch whose live fold rows + P
+    # markers still snap under the unstable-sort VMEM cliff at 2^20 rows
+    # (engine keep snapping; doc/perf-notes.md r5 sweep).
     batch = env_knobs.get(
-        "IHT_BATCH_SIZE", 1 << 18 if platform != "cpu" else 1 << 17
+        "IHT_BATCH_SIZE", 104 * 2048 if platform != "cpu" else 1 << 17
     )
     cfg = load_project(BENCH_CFG)
     engine = Engine(cfg, seed=7, batch_size=batch)

@@ -96,7 +96,7 @@ def sort_accumulate(acc, pix, vals, chunk: int = 2048):
         jnp.concatenate([vals[:, c], jnp.zeros(P + pad)]) for c in range(C)
     ]
 
-    s = jax.lax.sort(tuple([keys] + chans), num_keys=1)
+    s = jax.lax.sort(tuple([keys] + chans), num_keys=1, is_stable=False)
     sk = s[0]
 
     seg = _segmented_totals(sk, list(s[1 : 1 + C]), lambda k: k >> 1, chunk)
@@ -203,6 +203,7 @@ def _marker_extract(key2, seg_cols, P: int, block: int = BLOCK):
         tuple([k2] + [c.reshape(G, block) for c in seg_cols]),
         dimension=1,
         num_keys=1,
+        is_stable=False,
     )
     vals = jnp.stack(s[1:], axis=-1)                      # [G, block, C]
     dense = _varying_zeros((P + block, vals.shape[-1]), vals.dtype, m_cnt[0])
@@ -258,6 +259,7 @@ def compact_rows(valid, cols, keep: int, block: int = BLOCK):
         tuple([kb] + [c.reshape(G, block) for c in cols]),
         dimension=1,
         num_keys=1,
+        is_stable=False,
     )
     if pallas_ops.available():
         return (
@@ -281,8 +283,9 @@ def compact_rows(valid, cols, keep: int, block: int = BLOCK):
 
 def compact_by_key(key, cols, keep: int, block: int = BLOCK):
     """Compact rows whose packed sort key != 0xFFFFFFFF into a static-length
-    prefix, carrying `cols` along. The slim fold prepass: the key doubles as
-    the validity flag (pack_spectral_keys sends dead rows to 0xFFFFFFFF), so
+    prefix, carrying `cols` along (prefix order ARBITRARY — all sorts here
+    run is_stable=False; every consumer is order-invariant). The slim fold
+    prepass: the key doubles as the validity flag (pack_spectral_keys sends dead rows to 0xFFFFFFFF), so
     the block sort carries len(cols) + 1 operands total instead of
     compact_rows' separate 0/1 key + pixel + wl columns.
 
@@ -304,6 +307,7 @@ def compact_by_key(key, cols, keep: int, block: int = BLOCK):
         tuple([kb] + [c.reshape(G, block) for c in cols]),
         dimension=1,
         num_keys=1,
+        is_stable=False,
     )
     if pallas_ops.available():
         outs = [pallas_ops.scatter_blocks(x, start, keep, block) for x in s]
@@ -424,7 +428,7 @@ def fold_spectral_keys(
             [mask.astype(jnp.uint32), jnp.zeros(P + pad, jnp.uint32)]
         )
         operands.append(mask_all)
-    s = jax.lax.sort(tuple(operands), num_keys=1)
+    s = jax.lax.sort(tuple(operands), num_keys=1, is_stable=False)
     if prefix_len is not None and prefix_len < M + pad:
         assert prefix_len % block == 0, prefix_len
         s = tuple(x[:prefix_len] for x in s)

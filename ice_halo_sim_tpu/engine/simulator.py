@@ -225,6 +225,10 @@ class Engine:
     # ~1.3 ns/row + ~1 ms. Used by the calibrated fold dispatch.
     _C_SORT_FIX = 4.3
     _C_SORT_ROW = 4.2e-6
+    # Unstable-sort VMEM cliff (rows incl. markers): u32 key + f32 payload
+    # at 2^20 rows is ~8.4 MB of sort operands; beyond it the sort falls
+    # off the VMEM-resident path (measured 0.17 -> 0.65+ ms, r5).
+    _SORT_VMEM_ROWS = 1 << 20
     # Compaction keep margin over the measured per-batch live rows. Batch-
     # to-batch live-count CoV measures ~0.1% on the bench scenes (the live
     # count is a sum over ~1e6 near-independent Bernoulli rows), so 6% is
@@ -1468,7 +1472,7 @@ class Engine:
 
                 def slow(_):
                     sorted_ops = jax.lax.sort(
-                        tuple([key] + cols), num_keys=1
+                        tuple([key] + cols), num_keys=1, is_stable=False
                     )
                     return tuple(x[:eff_cap] for x in sorted_ops[1:])
 
@@ -1973,6 +1977,26 @@ class Engine:
             # rows. Worth the extra block sort only when it meaningfully
             # shortens the superlinear global sort.
             target = int(np.ceil(live_avg[r] * self._KEEP_MARGIN / block)) * block
+            # VMEM sort snapping: XLA's unstable 2-operand sort has a hard
+            # cliff at ~2^20 rows on v5e (8.4 MB of operands — the VMEM-
+            # resident regime): measured 2^20 rows 0.17 ms / 1.028M 0.40 /
+            # 1.11M 0.65 / 1.23M 0.75 / 2^21 1.25. When the live rows fit,
+            # snap keep so keep + P lands EXACTLY on the smallest pow2
+            # >= live*1.015 + P that is still <= 2^20 (grow OR shrink vs
+            # the margin target — the cliff dwarfs a few percent of rows).
+            # Above the cliff nothing helps; keep the margin target. The
+            # in-step lax.cond falls back to the full fold on overflow, so
+            # a tight margin costs speed on rare batches, never mass.
+            P_r = self.proj_plans[r].height * self.proj_plans[r].width
+            floor_rows = max(int(live_avg[r] * 1.015) + P_r, block + P_r)
+            q = 1 << (floor_rows - 1).bit_length()
+            snapped = q - P_r
+            if (
+                q <= self._SORT_VMEM_ROWS
+                and snapped % block == 0
+                and block <= snapped <= self._rows_per_render[r]
+            ):
+                target = snapped
             if n_rows >= 2 * block and target <= 0.6 * n_rows:
                 keep.append(max(block, target))
             else:
