@@ -70,12 +70,12 @@ def main() -> int:
     platform = jax.devices()[0].platform
     from ice_halo_sim_tpu.utils import env_knobs
 
-    # 104 kernel blocks (212992 rays) measured optimal with the Pallas
+    # 112 kernel blocks (229376 rays) measured optimal with the Pallas
     # trace megakernel (r5): the largest batch whose live fold rows + P
     # markers still snap under the unstable-sort VMEM cliff at 2^20 rows
     # (engine keep snapping; doc/perf-notes.md r5 sweep).
     batch = env_knobs.get(
-        "IHT_BATCH_SIZE", 104 * 2048 if platform != "cpu" else 1 << 17
+        "IHT_BATCH_SIZE", 112 * 2048 if platform != "cpu" else 1 << 17
     )
     cfg = load_project(BENCH_CFG)
     engine = Engine(cfg, seed=7, batch_size=batch)
@@ -102,7 +102,11 @@ def main() -> int:
     t0 = time.time()
     batches = 0
     chunk = engine.steps_per_dispatch if platform != "cpu" else 4
-    sync_every = 8 * chunk if platform != "cpu" else chunk
+    # The rate is (batches issued) / (time to FINAL sync), so intermediate
+    # syncs only bound the async queue depth — each costs a full host
+    # round trip (~150 ms tunneled, measured ~7% of the window at the r5
+    # step time), so keep them rare.
+    sync_every = 32 * chunk if platform != "cpu" else chunk
     since_sync = 0
     while batches < 4096 and (time.time() - t0) < 8.0:
         engine.run(n_batches=chunk)

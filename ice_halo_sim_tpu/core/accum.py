@@ -177,22 +177,19 @@ def _marker_extract(key2, seg_cols, P: int, block: int = BLOCK):
     if pallas_ops.available():
         # Markers are already in global pixel order after the fold's sort,
         # so compacting them to each block's front needs only the STABLE
-        # butterfly pack (12 routing stages), not a 78-stage block sort.
-        _pk, pcols, m_cnt = pallas_ops.pack_valid_blocks(
+        # butterfly pack (12 routing stages), not a 78-stage block sort —
+        # and the key itself is never needed downstream (the destination
+        # is the marker RANK), so the pack routes payload channels only.
+        pcols, m_cnt = pallas_ops.pack_payload_blocks(
             key2, list(seg_cols), P, block
         )
         start = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(m_cnt)[:-1]]
         )
-        return jnp.stack(
-            [
-                pallas_ops.scatter_blocks(
-                    c.reshape(G, block), start, P, block
-                )
-                for c in pcols
-            ],
-            axis=-1,
+        dense = pallas_ops.scatter_blocks_multi(
+            [c.reshape(G, block) for c in pcols], start, P, block
         )
+        return jnp.stack(dense, axis=-1)
     k2 = key2.reshape(G, block)
     is_m = k2 < P
     m_cnt = jnp.sum(is_m.astype(jnp.int32), axis=1)

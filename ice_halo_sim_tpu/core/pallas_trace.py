@@ -247,6 +247,22 @@ def _sel_const(sel, pairs, dtype=jnp.float32):
     return out
 
 
+def _sel_many(sel, idx_list, value_lists, dtypes=None):
+    """Select SEVERAL constant tables by one index array, computing each
+    one-hot mask once (the per-table _sel_const chain re-derives the same
+    compares; at 20+ tables x 20 rows that is ~half the entry-sampling
+    ops). idx_list: static indices; value_lists: per-output list of values
+    aligned with idx_list."""
+    n_out = len(value_lists)
+    dtypes = dtypes or [jnp.float32] * n_out
+    outs = [jnp.zeros(sel.shape, dt) for dt in dtypes]
+    for j, i in enumerate(idx_list):
+        m = sel == i
+        for o in range(n_out):
+            outs[o] = jnp.where(m, dtypes[o](value_lists[o][j]), outs[o])
+    return outs
+
+
 def make_trace_emit(plan: TracePlan):
     """Compile the kernel; returns run(base_lo, base_hi, n_active) ->
     (per_render, landed [R], dropped, segs) where per_render[r] =
@@ -344,20 +360,24 @@ def make_trace_emit(plan: TracePlan):
         v = jnp.where(over, 1.0 - v, v)
 
         tri_cols = list(zip(*plan.tris))  # 13 columns of len(tris)
-        def tri_sel(col):
-            return _sel_const(sel, list(enumerate(tri_cols[col])))
-
-        px = tri_sel(3) + u * tri_sel(6) + v * tri_sel(9)
-        py = tri_sel(4) + u * tri_sel(7) + v * tri_sel(10)
-        pz = tri_sel(5) + u * tri_sel(8) + v * tri_sel(11)
-        f0 = _sel_const(sel, list(enumerate(tri_cols[12])), i32)
+        picks = _sel_many(
+            sel, list(range(len(plan.tris))),
+            [tri_cols[c] for c in (3, 4, 5, 6, 7, 8, 9, 10, 11, 12)],
+            dtypes=[f32] * 9 + [i32],
+        )
+        px = picks[0] + u * picks[3] + v * picks[6]
+        py = picks[1] + u * picks[4] + v * picks[7]
+        pz = picks[2] + u * picks[5] + v * picks[8]
+        f0 = picks[9]
 
         w = jnp.where(entry_ok, w0, 0.0)
 
         # Entry normal + entry Fresnel (air -> ice).
-        n0x = _sel_const(f0, [(s, nx) for (s, nx, *_r) in plan.planes])
-        n0y = _sel_const(f0, [(s, ny) for (s, _nx, ny, *_r) in plan.planes])
-        n0z = _sel_const(f0, [(s, nz) for (s, _nx, _ny, nz, _d) in plan.planes])
+        n0x, n0y, n0z = _sel_many(
+            f0, [pp[0] for pp in plan.planes],
+            [[pp[1] for pp in plan.planes], [pp[2] for pp in plan.planes],
+             [pp[3] for pp in plan.planes]],
+        )
         (rx, ry, rz), (tx, ty, tz), w_r, w_t, _ = trace_soa._fresnel_split_soa(
             dx, dy, dz, n0x, n0y, n0z, w, n_ior
         )
@@ -440,10 +460,11 @@ def make_trace_emit(plan: TracePlan):
             found = (t_best < 5e29) & (t_best > -optics.SLAB_EPS)
             alive = found & (cw > 0.0)
 
-            nfx = _sel_const(fi, [(s, nx) for (s, nx, *_r) in plan.planes])
-            nfy = _sel_const(fi, [(s, ny) for (s, _nx, ny, *_r) in plan.planes])
-            nfz = _sel_const(
-                fi, [(s, nz) for (s, _nx, _ny, nz, _d) in plan.planes]
+            nfx, nfy, nfz = _sel_many(
+                fi, [pp[0] for pp in plan.planes],
+                [[pp[1] for pp in plan.planes],
+                 [pp[2] for pp in plan.planes],
+                 [pp[3] for pp in plan.planes]],
             )
             for (s, *_r) in plan.planes:
                 dists[s] = jnp.where(

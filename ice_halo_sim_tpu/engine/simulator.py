@@ -1563,8 +1563,9 @@ class Engine:
             # Tail rows past the last write are zero-filled: key 0 is a
             # zero-weight contribution to pixel 0, which folds to nothing
             # (same contract as accum.compact_valid).
-            ck = pallas_ops.scatter_blocks(keys, start, kr, blk)
-            cw = pallas_ops.scatter_blocks(wvals, start, kr, blk)
+            ck, cw = pallas_ops.scatter_blocks_multi(
+                [keys, wvals], start, kr, blk
+            )
 
             def fold_prefix(acc, ck=ck, cw=cw):
                 return accum_mod.fold_spectral_keys(
@@ -1982,13 +1983,15 @@ class Engine:
             # resident regime): measured 2^20 rows 0.17 ms / 1.028M 0.40 /
             # 1.11M 0.65 / 1.23M 0.75 / 2^21 1.25. When the live rows fit,
             # snap keep so keep + P lands EXACTLY on the smallest pow2
-            # >= live*1.015 + P that is still <= 2^20 (grow OR shrink vs
+            # >= live*1.008 + P that is still <= 2^20 (batch-to-batch live
+            # CoV measures ~0.1%, so 0.8% is ~8 sigma; an overflowing
+            # batch costs one lax.cond full-fold, never mass) (grow OR shrink vs
             # the margin target — the cliff dwarfs a few percent of rows).
             # Above the cliff nothing helps; keep the margin target. The
             # in-step lax.cond falls back to the full fold on overflow, so
             # a tight margin costs speed on rare batches, never mass.
             P_r = self.proj_plans[r].height * self.proj_plans[r].width
-            floor_rows = max(int(live_avg[r] * 1.015) + P_r, block + P_r)
+            floor_rows = max(int(live_avg[r] * 1.008) + P_r, block + P_r)
             q = 1 << (floor_rows - 1).bit_length()
             snapped = q - P_r
             if (
