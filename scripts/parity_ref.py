@@ -7,8 +7,10 @@ and scores PSNR between the u8 sRGB outputs, using the reference's own
 methodology (test/e2e-correctness/test_smoke.py: PSNR floors calibrated
 from run-to-run variation minus margin).
 
-Emit floor: our engine runs with IHT_MIN_EMIT_W=0 so the comparison is
-against reference emission semantics, not the TPU fold's perf knob.
+Emit floor: by default our engine runs with IHT_MIN_EMIT_W=0 so the
+comparison is against reference emission semantics; --floor default keeps
+the engine's own defaults (unbiased Russian-roulette floor) to prove the
+DEFAULT output passes the same floors (VERDICT r4 weak #4).
 
 Usage:
   python scripts/parity_ref.py [--scenes halo_22 cza ...] [--rays N]
@@ -117,9 +119,16 @@ def main(argv=None) -> int:
     ap.add_argument("--self-psnr", action="store_true",
                     help="also run the oracle twice (seeds 1, 2) to measure "
                          "its own run-to-run PSNR on this machine")
+    ap.add_argument("--floor", default="0",
+                    help="IHT_MIN_EMIT_W for our engine: '0' (reference "
+                         "emission semantics, the strict-parity default) or "
+                         "'default' to run the engine's own defaults (the "
+                         "unbiased rr floor) — the r5 proof that the "
+                         "DEFAULT renderer output passes the floors")
     args = ap.parse_args(argv)
 
-    os.environ["IHT_MIN_EMIT_W"] = "0"
+    if args.floor != "default":
+        os.environ["IHT_MIN_EMIT_W"] = args.floor
     results = []
     for scene in args.scenes:
         d_ref = os.path.join(args.out, scene, "ref")
