@@ -78,7 +78,7 @@ def default_params(cfg: ProjectConfig) -> RenderParams:
 
 def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 << 15,
                    seed: int = 1, max_hits: int = None, frozen_mode: bool = False,
-                   soft_tau: float = None):
+                   soft_tau: float = None, seed_as_arg: bool = False):
     """Build a jittable, differentiable params -> XYZ-image function.
 
     Scope: single scattering layer, single crystal setting, fixed-shape
@@ -104,7 +104,8 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
 
     from ice_halo_sim_tpu.core import color as color_mod
 
-    def render_impl(params: RenderParams, frozen=None, record=False):
+    def render_impl(params: RenderParams, frozen=None, record=False,
+                    seed_v=None):
         idx = jnp.arange(B, dtype=jnp.uint32)
         n_wl = wl.shape[0]
         wl_idx = (idx % jnp.uint32(n_wl)).astype(jnp.int32)
@@ -115,7 +116,9 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
 
         # Sun direction with differentiable altitude: re-derive the cap
         # rotation from the parameter (sample_sun_dirs math, kept jnp).
-        seed_u = jnp.uint32(seed)
+        # seed_v: traced per-call seed (seed_as_arg=True) — one compiled
+        # program serves every seed of a seed-averaged FD battery.
+        seed_u = jnp.uint32(seed) if seed_v is None else seed_v
         lon_s = jnp.deg2rad(jnp.float32(sun.azimuth + 180.0))
         lat_s = -jnp.deg2rad(params.sun_altitude_deg)
         half = jnp.deg2rad(jnp.float32(sun.diameter / 2.0))
@@ -180,4 +183,8 @@ def make_render_fn(cfg: ProjectConfig, render_idx: int = 0, batch_size: int = 1 
         )
         record_fn = jax.jit(lambda params: render_impl(params, record=True))
         return render_frozen, record_fn
+    if seed_as_arg:
+        return jax.jit(
+            lambda params, seed_v: render_impl(params, seed_v=seed_v)
+        )
     return jax.jit(render_impl)
