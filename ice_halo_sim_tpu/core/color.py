@@ -105,8 +105,8 @@ def gamut_clip_xyz(xyz):
     m = jnp.asarray(XYZ_TO_RGB)
     gray = white * xyz[..., 1:2]
     diff = xyz - gray
-    a = -jnp.einsum("...k,jk->...j", gray, m)
-    b = jnp.einsum("...k,jk->...j", diff, m)
+    a = -jnp.einsum("...k,jk->...j", gray, m, precision="highest")
+    b = jnp.einsum("...k,jk->...j", diff, m, precision="highest")
     ratio = jnp.where(jnp.abs(b) > 1e-30, a / jnp.where(jnp.abs(b) > 1e-30, b, 1.0), jnp.inf)
     cand = jnp.where(a * b > 0, ratio, jnp.inf)
     s = jnp.minimum(jnp.min(cand, axis=-1), 1.0)
@@ -115,7 +115,8 @@ def gamut_clip_xyz(xyz):
 
 def xyz_to_linear_rgb(xyz):
     """[..., 3] XYZ -> clamped linear RGB (color_space.cpp:XyzToLinearRgb)."""
-    rgb = jnp.einsum("...k,jk->...j", xyz, jnp.asarray(XYZ_TO_RGB))
+    rgb = jnp.einsum("...k,jk->...j", xyz, jnp.asarray(XYZ_TO_RGB),
+                     precision="highest")
     return jnp.clip(rgb, 0.0, 1.0)
 
 
@@ -137,7 +138,8 @@ def post_process(xyz_image, intensity_factor: float, snapshot_intensity: float,
         rgb = xyz_to_linear_rgb(gamut_clip_xyz(xyz))
     else:
         gray = jnp.asarray(WHITE_D65) * xyz[..., 1:2]
-        rgb = jnp.einsum("...k,jk->...j", gray, jnp.asarray(XYZ_TO_RGB))
+        rgb = jnp.einsum("...k,jk->...j", gray, jnp.asarray(XYZ_TO_RGB),
+                         precision="highest")
         rgb = rgb * jnp.asarray(ray_color, jnp.float32)
     rgb = rgb + jnp.asarray(background, jnp.float32)
     rgb = jnp.clip(rgb, 0.0, 1.0)

@@ -110,13 +110,22 @@ class TracePlan(NamedTuple):
     sun_alt: float
     sun_diam: float
     axis_params: object      # sampling.AxisParams (host numpy)
-    planes: tuple            # per present face: (slot, nx, ny, nz, d)
-    tris: tuple              # per live tri: (chx,chy,chz, v0*, e1*, e2*, face_slot)
+    planes: tuple            # static mode: per present face (slot, nx, ny, nz, d)
+    tris: tuple              # static mode: per live tri (ch*, v0*, e1*, e2*, face_slot)
     emit_frac: float
     emit_mode: str
     w_scale: float           # analytic mean initial weight
     renders: tuple           # projection.ProjPlan per render (static)
     rows_block: tuple        # per render: padded slab rows (pow2 multiple of 128)
+    # Blocked-pool mode (stochastic K-shape geometry, r5 v2): the pool is
+    # sampled per batch on the XLA side (identical arrays to the XLA trace
+    # path) and fed to the kernel as [K, NF*5] / [K, T*13] tables; with
+    # geom_clock == 128 each 128-lane sublane row shares ONE shape, so
+    # every per-face/per-tri read is a [R, 1] -> [R, 128] lane broadcast.
+    pool_k: int = 0          # 0 = static baked geometry; else pool rows
+    nf: int = 0              # faces per shape (blocked mode)
+    n_tris: int = 0          # entry fan triangles per shape (blocked mode)
+    gc: int = 0              # geom clock (blocked mode; must be 128)
 
 
 def build_plan(engine) -> Optional[TracePlan]:
@@ -132,8 +141,13 @@ def build_plan(engine) -> Optional[TracePlan]:
         reason = "multi-layer scattering (continuation emit not in kernel v1)"
     elif engine.layers[0].n_settings != 1:
         reason = "multiple crystal settings per layer"
-    elif not engine.layers[0].deterministic_shape[0]:
-        reason = "stochastic crystal shape (per-batch geometry pool)"
+    elif (
+        not engine.layers[0].deterministic_shape[0]
+        and engine.geom_clock != 128
+    ):
+        reason = ("stochastic crystal shape needs geom_clock == 128 "
+                  "(one shape per 128-lane row; engine auto-bumps the "
+                  "default, a pinned IHT_GEOM_CLOCK is respected)")
     elif engine.layers[0].filter_plans[0] is not None:
         reason = "ray-path filter attached"
     elif engine.color_classes:
@@ -155,32 +169,47 @@ def build_plan(engine) -> Optional[TracePlan]:
         return None
 
     plan0 = engine.layers[0]
-    # Deterministic K==1 geometry: sample the pool once (NO_RANDOM draws
-    # ignore the seed/counter, so this is THE geometry for every batch).
-    pool = engine._sample_layer_pool(0, plan0, jnp.uint32(0))
-    plane_n = np.asarray(pool.plane_n[0], np.float32)        # [NF, 3]
-    plane_d = np.asarray(pool.plane_d[0], np.float32)
-    present = np.asarray(pool.face_present[0])
-    planes = tuple(
-        (int(f), float(plane_n[f, 0]), float(plane_n[f, 1]),
-         float(plane_n[f, 2]), float(plane_d[f]))
-        for f in range(plane_n.shape[0])
-        if present[f]
-    )
-    ch = np.asarray(pool.tri_cross_half[0], np.float32)      # [T, 3]
-    v0 = np.asarray(pool.tri_v0[0], np.float32)
-    e1 = np.asarray(pool.tri_e1[0], np.float32)
-    e2 = np.asarray(pool.tri_e2[0], np.float32)
-    tf = np.asarray(pool.tri_face[0], np.int32)
-    live = np.abs(ch).sum(axis=1) > 0
-    tris = tuple(
-        tuple(float(x) for x in (*ch[t], *v0[t], *e1[t], *e2[t])) + (int(tf[t]),)
-        for t in range(ch.shape[0])
-        if live[t]
-    )
-    if not tris or not planes:
-        engine._kernel_reason = "degenerate geometry (no live entry faces)"
-        return None
+    planes = ()
+    tris = ()
+    pool_k = nf = n_tris = gc = 0
+    if plan0.deterministic_shape[0]:
+        # Deterministic K==1 geometry: sample the pool once (NO_RANDOM
+        # draws ignore the seed/counter — THE geometry for every batch)
+        # and bake it as python constants.
+        pool = engine._sample_layer_pool(0, plan0, jnp.uint32(0))
+        plane_n = np.asarray(pool.plane_n[0], np.float32)    # [NF, 3]
+        plane_d = np.asarray(pool.plane_d[0], np.float32)
+        present = np.asarray(pool.face_present[0])
+        planes = tuple(
+            (int(f), float(plane_n[f, 0]), float(plane_n[f, 1]),
+             float(plane_n[f, 2]), float(plane_d[f]))
+            for f in range(plane_n.shape[0])
+            if present[f]
+        )
+        ch = np.asarray(pool.tri_cross_half[0], np.float32)  # [T, 3]
+        v0 = np.asarray(pool.tri_v0[0], np.float32)
+        e1 = np.asarray(pool.tri_e1[0], np.float32)
+        e2 = np.asarray(pool.tri_e2[0], np.float32)
+        tf = np.asarray(pool.tri_face[0], np.int32)
+        live = np.abs(ch).sum(axis=1) > 0
+        tris = tuple(
+            tuple(float(x) for x in (*ch[t], *v0[t], *e1[t], *e2[t]))
+            + (int(tf[t]),)
+            for t in range(ch.shape[0])
+            if live[t]
+        )
+        if not tris or not planes:
+            engine._kernel_reason = "degenerate geometry (no live entry faces)"
+            return None
+    else:
+        # Blocked-pool mode: the per-batch pool arrays are kernel inputs.
+        pool_k = plan0.k_per_setting[0]
+        gc = engine.geom_clock
+        from ice_halo_sim_tpu.core import geometry as geom_mod
+
+        nf = (geom_mod.PYRAMID_FACES
+              if engine.any_pyramid else geom_mod.PRISM_FACES)
+        n_tris = nf * 4   # build_entry_tris: T = NF * (6 - 2)
 
     if engine.wl_mode == "illuminant":
         from ice_halo_sim_tpu.core import color
@@ -235,6 +264,10 @@ def build_plan(engine) -> Optional[TracePlan]:
         w_scale=w_scale,
         renders=tuple(engine.proj_plans),
         rows_block=tuple(rows_block),
+        pool_k=pool_k,
+        nf=nf,
+        n_tris=n_tris,
+        gc=gc,
     )
 
 
@@ -280,8 +313,15 @@ def make_trace_emit(plan: TracePlan):
     Rb = [rb // LANES for rb in plan.rows_block]
     nbits = [int(math.log2(rb)) for rb in plan.rows_block]
 
-    def kernel(sref, *out_refs):
-        # out_refs layout: per render (key_ref, w_ref, cnt_ref), then stats.
+    blocked = plan.pool_k > 0
+
+    def kernel(sref, *refs):
+        # refs: [ptbl_ref, ttbl_ref,] then per render (key, w, cnt), stats.
+        if blocked:
+            ptbl_ref, ttbl_ref = refs[0], refs[1]
+            out_refs = refs[2:]
+        else:
+            out_refs = refs
         g = pl.program_id(0)
         stats_ref = out_refs[3 * n_renders]
 
@@ -336,11 +376,44 @@ def make_trace_emit(plan: TracePlan):
         )
         dx, dy, dz = trace_soa.rot_apply_inv(rot, wx, wy, wz)
 
-        # ---- entry-face sampling over the static fan-triangle table ----
+        # ---- geometry accessors: static python constants or per-row
+        # broadcasts from the blocked pool tables (one shape per 128-lane
+        # sublane row; geom_clock == 128 makes shape index == row index).
+        if blocked:
+            ptbl = ptbl_ref[...]             # [R, NF*5]
+            ttbl = ttbl_ref[...]             # [R, T*13]
+
+            def _bc(tbl, c):
+                return jnp.broadcast_to(tbl[:, c:c + 1], (R, LANES))
+
+            face_ids = list(range(plan.nf))
+            fgeo = {
+                f: (_bc(ptbl, 5 * f), _bc(ptbl, 5 * f + 1),
+                    _bc(ptbl, 5 * f + 2), _bc(ptbl, 5 * f + 3),
+                    _bc(ptbl, 5 * f + 4) > 0.5)
+                for f in face_ids
+            }
+            n_tris = plan.n_tris
+
+            def tri_val(t, c):
+                return _bc(ttbl, 13 * t + c)
+        else:
+            face_ids = [pp[0] for pp in plan.planes]
+            fgeo = {
+                pp[0]: (pp[1], pp[2], pp[3], pp[4], None)
+                for pp in plan.planes
+            }
+            n_tris = len(plan.tris)
+
+            def tri_val(t, c):
+                return plan.tris[t][c]
+
+        # ---- entry-face sampling over the fan-triangle table ----
         entry_seed = layer_seed ^ rng.NONCE_ENTRY
         ws = []
         total = jnp.zeros((R, LANES), f32)
-        for (chx, chy, chz, *_rest) in plan.tris:
+        for t in range(n_tris):
+            chx, chy, chz = tri_val(t, 0), tri_val(t, 1), tri_val(t, 2)
             wt = jnp.maximum(-(chx * dx + chy * dy + chz * dz), 0.0)
             ws.append(wt)
             total = total + wt
@@ -351,7 +424,7 @@ def make_trace_emit(plan: TracePlan):
         for wt in ws:
             cdf = cdf + wt
             sel = sel + (cdf <= target).astype(i32)
-        sel = jnp.clip(sel, 0, len(plan.tris) - 1)
+        sel = jnp.clip(sel, 0, n_tris - 1)
 
         u = rng.uniform(entry_seed, ray_idx, 11)
         v = rng.uniform(entry_seed, ray_idx, 12)
@@ -359,25 +432,31 @@ def make_trace_emit(plan: TracePlan):
         u = jnp.where(over, 1.0 - u, u)
         v = jnp.where(over, 1.0 - v, v)
 
-        tri_cols = list(zip(*plan.tris))  # 13 columns of len(tris)
-        picks = _sel_many(
-            sel, list(range(len(plan.tris))),
-            [tri_cols[c] for c in (3, 4, 5, 6, 7, 8, 9, 10, 11, 12)],
-            dtypes=[f32] * 9 + [i32],
-        )
+        # One-hot picks of the selected triangle's 10 values (masks shared
+        # across tables; values are python floats or [R,1]-broadcast rows).
+        picks = [jnp.zeros((R, LANES), f32) for _ in range(10)]
+        for t in range(n_tris):
+            m = sel == t
+            for o, c in enumerate((3, 4, 5, 6, 7, 8, 9, 10, 11, 12)):
+                picks[o] = jnp.where(m, tri_val(t, c) * jnp.ones((), f32),
+                                     picks[o])
         px = picks[0] + u * picks[3] + v * picks[6]
         py = picks[1] + u * picks[4] + v * picks[7]
         pz = picks[2] + u * picks[5] + v * picks[8]
-        f0 = picks[9]
+        f0 = (picks[9] + 0.5).astype(i32)
 
         w = jnp.where(entry_ok, w0, 0.0)
 
         # Entry normal + entry Fresnel (air -> ice).
-        n0x, n0y, n0z = _sel_many(
-            f0, [pp[0] for pp in plan.planes],
-            [[pp[1] for pp in plan.planes], [pp[2] for pp in plan.planes],
-             [pp[3] for pp in plan.planes]],
-        )
+        n0x = jnp.zeros((R, LANES), f32)
+        n0y = jnp.zeros((R, LANES), f32)
+        n0z = jnp.zeros((R, LANES), f32)
+        for f in face_ids:
+            nx, ny, nz, _d, _pres = fgeo[f]
+            m = f0 == f
+            n0x = jnp.where(m, nx * jnp.ones((), f32), n0x)
+            n0y = jnp.where(m, ny * jnp.ones((), f32), n0y)
+            n0z = jnp.where(m, nz * jnp.ones((), f32), n0z)
         (rx, ry, rz), (tx, ty, tz), w_r, w_t, _ = trace_soa._fresnel_split_soa(
             dx, dy, dz, n0x, n0y, n0z, w, n_ior
         )
@@ -386,8 +465,9 @@ def make_trace_emit(plan: TracePlan):
 
         # Incremental plane distances of the entry point.
         dists = {
-            s: px * nx + py * ny + pz * nz + d
-            for (s, nx, ny, nz, d) in plan.planes
+            f: px * fgeo[f][0] + py * fgeo[f][1] + pz * fgeo[f][2]
+            + fgeo[f][3]
+            for f in face_ids
         }
 
         # ---- emit machinery ----
@@ -446,29 +526,35 @@ def make_trace_emit(plan: TracePlan):
             t_best = jnp.full((R, LANES), 1e30, f32)
             fi = jnp.zeros((R, LANES), i32)
             denoms = {}
-            for (s, nx, ny, nz, _d) in plan.planes:
+            for f in face_ids:
+                nx, ny, nz, _d, pres = fgeo[f]
                 denom = cx * nx + cy * ny + cz * nz
-                denoms[s] = denom
-                t_f = -dists[s] / jnp.where(
+                denoms[f] = denom
+                t_f = -dists[f] / jnp.where(
                     jnp.abs(denom) > 1e-30, denom, 1e-30
                 )
-                cand = (denom > optics.SLAB_EPS) & (prev_f != s)
+                cand = (denom > optics.SLAB_EPS) & (prev_f != f)
+                if pres is not None:
+                    cand = cand & pres
                 t_m = jnp.where(cand, t_f, 1e30)
                 upd = t_m < t_best
-                fi = jnp.where(upd, i32(s), fi)
+                fi = jnp.where(upd, i32(f), fi)
                 t_best = jnp.where(upd, t_m, t_best)
             found = (t_best < 5e29) & (t_best > -optics.SLAB_EPS)
             alive = found & (cw > 0.0)
 
-            nfx, nfy, nfz = _sel_many(
-                fi, [pp[0] for pp in plan.planes],
-                [[pp[1] for pp in plan.planes],
-                 [pp[2] for pp in plan.planes],
-                 [pp[3] for pp in plan.planes]],
-            )
-            for (s, *_r) in plan.planes:
-                dists[s] = jnp.where(
-                    alive, dists[s] + t_best * denoms[s], dists[s]
+            nfx = jnp.zeros((R, LANES), f32)
+            nfy = jnp.zeros((R, LANES), f32)
+            nfz = jnp.zeros((R, LANES), f32)
+            for f in face_ids:
+                nx, ny, nz, _d, _pres = fgeo[f]
+                m = fi == f
+                nfx = jnp.where(m, nx * jnp.ones((), f32), nfx)
+                nfy = jnp.where(m, ny * jnp.ones((), f32), nfy)
+                nfz = jnp.where(m, nz * jnp.ones((), f32), nfz)
+            for f in face_ids:
+                dists[f] = jnp.where(
+                    alive, dists[f] + t_best * denoms[f], dists[f]
                 )
             (rx, ry, rz), (tx2, ty2, tz2), w_r, w_t2, is_tir = (
                 trace_soa._fresnel_split_soa(
@@ -532,10 +618,18 @@ def make_trace_emit(plan: TracePlan):
     )
     out_shape.append(jax.ShapeDtypeStruct((G * 8, LANES), jnp.float32))
 
+    in_specs = []
+    if blocked:
+        in_specs = [
+            pl.BlockSpec((R, plan.nf * 5), lambda g, s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, plan.n_tris * 13), lambda g, s: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[],
+        in_specs=in_specs,
         out_specs=out_specs,
     )
     call = pl.pallas_call(
@@ -545,7 +639,7 @@ def make_trace_emit(plan: TracePlan):
         interpret=INTERPRET,
     )
 
-    def run(base_lo, base_hi, n_active):
+    def run(base_lo, base_hi, n_active, ptbl=None, ttbl=None):
         sc = jnp.stack(
             [
                 jax.lax.bitcast_convert_type(
@@ -557,7 +651,7 @@ def make_trace_emit(plan: TracePlan):
                 jnp.asarray(n_active, jnp.uint32).astype(jnp.int32),
             ]
         )
-        outs = call(sc)
+        outs = call(sc, ptbl, ttbl) if blocked else call(sc)
         per_render = []
         for r in range(n_renders):
             keys = outs[3 * r].reshape(G, Rb[r] * LANES)

@@ -120,9 +120,21 @@ def _face_polygons(plane_n, plane_d, ref_scale):
     cross_ag = jnp.cross(a, n_g)
     x = (b0[..., None] * cross_gh + b1[..., None] * cross_ha + b2[..., None] * cross_ag) / safe_det[..., None]
 
-    # Feasibility: inside every half-space (slack <= tol).
+    # Feasibility: inside every half-space (slack <= tol). The contraction
+    # is spelled out componentwise ON PURPOSE: as an einsum it lowers to
+    # the MXU at the DEFAULT matmul precision — bfloat16 on current TPU
+    # stacks — and candidate vertices reach |x| ~ 1e4 against a 5e-5
+    # tolerance, so every slack test failed and all non-basal faces were
+    # marked absent (r5 regression found by the parity battery: pyramid
+    # scene at 19 dB, rays passing through basal slabs undeviated).
+    # Elementwise VPU math stays f32 exact.
     tol = 5e-5 * jnp.maximum(ref_scale, 0.1)
-    slack = jnp.einsum("ncx,px->ncp", x, plane_n) + plane_d[None, None, :]
+    slack = (
+        x[..., 0, None] * plane_n[None, None, :, 0]
+        + x[..., 1, None] * plane_n[None, None, :, 1]
+        + x[..., 2, None] * plane_n[None, None, :, 2]
+        + plane_d[None, None, :]
+    )
     feasible = ok_det & (jnp.max(slack, axis=-1) <= tol)  # [NF, C]
 
     # Angular sort in the face plane around the feasible centroid.

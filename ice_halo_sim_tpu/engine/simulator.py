@@ -252,6 +252,21 @@ class Engine:
         from ice_halo_sim_tpu.core import pallas_trace
 
         plan = pallas_trace.build_plan(self)
+        if (
+            plan is None
+            and str(self._kernel_reason).startswith("stochastic crystal")
+            and self.geom_clock == DEFAULT_GEOM_CLOCK
+        ):
+            # Blocked-pool kernel mode needs one shape per 128-lane row.
+            # geom_clock is a quality-neutral sharing granularity (the
+            # reference ships 32 and measured 1..64 equivalent; at 128 a
+            # bench batch still samples ~1.8k shapes and a full run ~1M —
+            # shape-distribution sampling error is orders below ray
+            # noise, and the parity battery validates exactly this
+            # configuration). A user-pinned geom_clock is respected.
+            self.geom_clock = 128
+            self._build_plan()
+            plan = pallas_trace.build_plan(self)
         if plan is None:
             from ice_halo_sim_tpu.utils.log import get_logger
 
@@ -1535,9 +1550,37 @@ class Engine:
         B = self.batch_size
         bh = jnp.uint32(0) if base_hi is None else base_hi
         na = jnp.uint32(B) if n_active is None else n_active
-        per_render, landed_add, dropped, segs = self._trace_emit(
-            batch_base, bh, na
-        )
+        if self._trace_plan.pool_k:
+            # Blocked-pool mode: the geometry pool is sampled here on the
+            # XLA side (IDENTICAL arrays to the XLA trace path — same
+            # streams, same batch counter) and fed to the kernel as flat
+            # per-shape feature tables.
+            pool = self._sample_layer_pool(0, self.layers[0], batch_counter)
+            feat = jnp.concatenate(
+                [
+                    pool.plane_n,
+                    pool.plane_d[..., None],
+                    pool.face_present.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )                                            # [K, NF, 5]
+            ptbl = feat.reshape(feat.shape[0], -1)
+            tfeat = jnp.concatenate(
+                [
+                    pool.tri_cross_half, pool.tri_v0, pool.tri_e1,
+                    pool.tri_e2,
+                    pool.tri_face.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )                                            # [K, T, 13]
+            ttbl = tfeat.reshape(tfeat.shape[0], -1)
+            per_render, landed_add, dropped, segs = self._trace_emit(
+                batch_base, bh, na, ptbl, ttbl
+            )
+        else:
+            per_render, landed_add, dropped, segs = self._trace_emit(
+                batch_base, bh, na
+            )
         landed = accum[-1] + landed_add
         basis_fn = partial(self._xyz_basis, batch_counter=batch_counter)
         xyz_acc = list(accum[:-1])
@@ -1723,21 +1766,22 @@ class Engine:
 
     def _multi_step_impl(self, accum, counter0, n_steps: int, keep=None,
                          plan_version: int = 0):
-        """`n_steps` batches in ONE device execution (straight-line chain of
-        the fused step; per-dispatch latency amortizes across all of them).
+        """`n_steps` batches in ONE device execution (fori_loop over the
+        fused step; per-dispatch latency amortizes across all of them).
 
-        PYRAMID SCENES ARE UNROLLED host-side on purpose — do NOT fold them
-        back into lax.fori_loop/scan. On real TPU hardware the looped
-        compilation of the NF=20 (pyramid-slot) trace is MISCOMPILED: every
-        iteration traces rays as near-undeviated (the round-4 pyramid-blob
-        bug — 81% of image mass lands within 3 px of the sun vs 15% from
-        the identical step compiled straight-line; reproduced with
-        fori_loop AND scan on v5e/axon, correct on CPU and in single-step
-        dispatches; prism NF=8 scenes verified bit-identical loop-vs-
-        unroll). Unrolling costs compile time proportional to
-        steps_per_dispatch (paid once, persistent-cached); runtime is the
-        same. Guard: scripts/tpu_smoke.py asserts the pyramid ring
-        structure through this exact path on every TPU gate run.
+        HISTORY: rounds 4-5 carried a host-side unroll workaround for
+        pyramid scenes, diagnosed in r4 as a TPU miscompile of the looped
+        NF=20 trace (81% of image mass within 3 px of the sun). Round 5's
+        parity battery re-caught the blob through EVERY compile path and
+        root-caused it: the pyramid geometry builder's feasibility einsum
+        lowered onto the MXU at the stack's default matmul precision
+        (bfloat16) — vertex coordinates ~1e4 against a 5e-5 tolerance —
+        so all non-basal faces were dropped. With the contraction spelled
+        out componentwise (core/pyramid.py), loop and unrolled compiles
+        agree to float rounding on chip, and the unroll (whose compile
+        time scaled with steps_per_dispatch) is gone. Guards:
+        scripts/tpu_smoke.py asserts pyramid pool face presence AND the
+        ring structure through this exact path on every TPU gate run.
 
         (A per-dispatch contribution ring that folded once per dispatch was
         measured SLOWER than per-batch folds on v5e: XLA sort cost is
@@ -1764,10 +1808,6 @@ class Engine:
                  jnp.zeros((n_renders,), jnp.uint32),
                  jnp.zeros((n_bounds,), jnp.uint32),
                  jnp.zeros((self.max_hits,), jnp.float32))
-        if self.any_pyramid and jax.default_backend() != "cpu":
-            for i in range(n_steps):
-                carry = body(i, carry)
-            return carry
         return jax.lax.fori_loop(0, n_steps, body, carry)
 
     def run(self, total_rays: Optional[int] = None, n_batches: Optional[int] = None) -> Stats:

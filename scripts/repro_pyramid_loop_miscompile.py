@@ -1,28 +1,34 @@
 #!/usr/bin/env python
-"""Minimal repro: looped compilation of an NF=20 slab trace mis-traces on
-real TPU (v5e/axon), while the identical straight-line (unrolled) program
-is correct.
+"""Minimal repro of the "pyramid blob" bug: a geometry feasibility test
+computed via einsum silently runs at the TPU stack's DEFAULT matmul
+precision (bfloat16 on current stacks), not f32.
 
-Distilled from the round-4 pyramid-blob bug (ice_halo_sim_tpu r4: with
-`lax.fori_loop`/`lax.scan` around the batch step, every ray of an NF=20
-(pyramid-slot) trace came out near-undeviated — 81% of image mass within
-3 px of the sun vs 15% from the same step compiled straight-line; prism
-NF=8 scenes were bit-identical loop-vs-unroll; CPU was correct in all
-four combinations). The production workaround unrolls multi-step
-dispatches host-side for pyramid scenes (engine/simulator.py
-_multi_step_impl); scripts/tpu_smoke.py asserts the engine-level ring
-structure on every TPU gate run. THIS script is the standalone A/B the
-megakernel work and any upstream report can test against.
+History: round 4 diagnosed the blob (81% of image mass within 3 px of the
+sun on pyramid scenes) as a miscompile of the LOOPED NF=20 trace and
+worked around it by host-unrolling multi-batch dispatches. Round 5's
+parity battery re-caught the blob through every compile path — kernel and
+XLA, looped and unrolled, r4 and r5 code — on the current stack, and the
+bisection landed in the geometry BUILDER, not the trace:
 
-Structure kept from the real trace (everything else stripped):
-  - a per-ray bounce loop over NF static plane normals: per bounce the
-    argmin-t face is selected by masked min + one-hot reduction, the ray
-    reflects off it, and per-face running distances update;
-  - the whole batch step wrapped in lax.fori_loop over steps (the
-    production multi-batch dispatch) vs a host-unrolled chain.
+    slack = einsum("ncx,px->ncp", x, plane_n) + plane_d
 
-PASS = loop and unroll agree for both NF=8 and NF=20 (bug absent/fixed).
-FAIL(NF=20 only) = the round-4 platform miscompile signature.
+lowers the 3-element contraction onto the MXU at default matmul
+precision. Candidate vertex coordinates reach |x| ~ 1e4 while the
+feasibility tolerance is 5e-5, so bf16 rounding (~2^-8 relative) wiped
+out every slack test: all non-basal pyramid faces were marked absent and
+rays sailed through two parallel basal slabs nearly undeviated — the
+blob. (Prism faces survived because the prism builder was already
+componentwise.) Whether the einsum folds to bf16 evidently depends on
+surrounding compile context, which is why r4 saw loop-vs-unroll diverge.
+
+The fix (core/pyramid.py): spell the contraction out componentwise —
+elementwise VPU math is always f32. This script demonstrates the
+divergence directly; scripts/tpu_smoke.py carries standing guards
+(pyramid pool face presence + the engine-level ring structure).
+
+PASS = einsum and componentwise slack agree to f32 tolerance on this
+backend (fixed stack or safe default). FAIL = the precision trap exists:
+any geometry-sized einsum here MUST be componentwise or precision-pinned.
 """
 
 import sys
@@ -31,101 +37,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 4096    # rays per step
-H = 6       # bounces
-STEPS = 4
 
-
-def hashf(i, s):
-    x = (i * jnp.uint32(1000003) + jnp.uint32(s)) * jnp.uint32(747796405)
-    x = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
-    return ((x >> jnp.uint32(22)) ^ x >> jnp.uint32(8)).astype(
-        jnp.int32
-    ).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
-
-
-def make_planes(nf):
-    """nf unit normals spread over the sphere (host constants, like the
-    crystal face tables)."""
-    g = np.linspace(0.15, 0.95, nf)
-    th = np.linspace(0.0, 2 * np.pi, nf, endpoint=False)
-    n = np.stack([np.cos(th) * g, np.sin(th) * g, np.sqrt(1 - g * g)], -1)
-    return (n / np.linalg.norm(n, axis=1, keepdims=True)).astype(np.float32)
-
-
-def one_step(counter, nf):
-    planes = make_planes(nf)
-    i = jnp.arange(B, dtype=jnp.uint32) + counter * jnp.uint32(B)
-    # incoming directions: unit vectors, mostly downward (the sun beam)
-    u1 = hashf(i, 1) * 0.2 - 0.1
-    u2 = hashf(i, 2) * 0.2 - 0.1
-    dz = -jnp.sqrt(jnp.maximum(1.0 - u1 * u1 - u2 * u2, 0.0))
-    dx, dy = u1, u2
-    dist = [hashf(i, 10 + f) + 0.5 for f in range(nf)]
-    prev = jnp.full((B,), -1, jnp.int32)
-    for _h in range(H):
-        t_best = jnp.full((B,), 1e30, jnp.float32)
-        fi = jnp.zeros((B,), jnp.int32)
-        denoms = []
-        for f in range(nf):
-            nx, ny, nz = (float(planes[f, c]) for c in range(3))
-            den = dx * nx + dy * ny + dz * nz
-            denoms.append(den)
-            t = -dist[f] / jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
-            cand = (den > 1e-5) & (prev != f)
-            tm = jnp.where(cand, t, 1e30)
-            upd = tm < t_best
-            fi = jnp.where(upd, f, fi)
-            t_best = jnp.where(upd, tm, t_best)
-        alive = t_best < 5e29
-        nxs = jnp.zeros((B,)); nys = jnp.zeros((B,)); nzs = jnp.zeros((B,))
-        for f in range(nf):
-            m = fi == f
-            nxs = jnp.where(m, float(planes[f, 0]), nxs)
-            nys = jnp.where(m, float(planes[f, 1]), nys)
-            nzs = jnp.where(m, float(planes[f, 2]), nzs)
-        for f in range(nf):
-            dist[f] = jnp.where(alive, dist[f] + t_best * denoms[f], dist[f])
-        ct = dx * nxs + dy * nys + dz * nzs
-        dx = jnp.where(alive, dx - 2 * ct * nxs, dx)
-        dy = jnp.where(alive, dy - 2 * ct * nys, dy)
-        dz = jnp.where(alive, dz - 2 * ct * nzs, dz)
-        prev = jnp.where(alive, fi, prev)
-    # deflection histogram: how far did rays turn from straight down?
-    cos_dev = -dz  # 1.0 = undeviated
-    return jnp.stack([
-        jnp.sum((cos_dev > 0.999).astype(jnp.float32)),   # near-undeviated
-        jnp.sum((cos_dev < 0.9).astype(jnp.float32)),     # strongly deviated
-        jnp.sum(dx) + jnp.sum(dy) + jnp.sum(dz),          # checksum
-    ])
-
-
-def run(nf, looped):
-    @jax.jit
-    def prog():
-        if looped:
-            def body(k, acc):
-                return acc + one_step(jnp.uint32(k), nf)
-            return jax.lax.fori_loop(0, STEPS, body, jnp.zeros(3))
-        acc = jnp.zeros(3)
-        for k in range(STEPS):
-            acc = acc + one_step(jnp.uint32(k), nf)
-        return acc
-    return np.asarray(prog())
-
-
-def main():
+def main() -> int:
     print(f"platform: {jax.devices()[0].platform} ({jax.devices()[0]})")
-    ok = True
-    for nf in (8, 20):
-        a = run(nf, looped=False)
-        b = run(nf, looped=True)
-        same = np.allclose(a, b, rtol=1e-5)
-        print(f"NF={nf:2d}: unrolled {a} | fori_loop {b} | "
-              f"{'MATCH' if same else 'MISMATCH  <-- miscompile signature'}")
-        ok &= same
-    print("PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    rs = np.random.RandomState(7)
+    # Candidate vertices at realistic magnitudes (far plane intersections).
+    x = jnp.asarray(rs.uniform(-2e4, 2e4, size=(20, 171, 3)), jnp.float32)
+    n = jnp.asarray(rs.normal(size=(20, 3)), jnp.float32)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    d = jnp.asarray(rs.uniform(-1, 1, size=(20,)), jnp.float32)
+
+    @jax.jit
+    def both(x, n, d):
+        s_einsum = jnp.einsum("ncx,px->ncp", x, n) + d[None, None, :]
+        s_comp = (
+            x[..., 0, None] * n[None, None, :, 0]
+            + x[..., 1, None] * n[None, None, :, 1]
+            + x[..., 2, None] * n[None, None, :, 2]
+            + d[None, None, :]
+        )
+        return s_einsum, s_comp
+
+    a, b = both(x, n, d)
+    diff = float(jnp.max(jnp.abs(a - b)))
+    tol = 5e-5  # the geometry feasibility tolerance
+    print(f"max |einsum - componentwise| slack: {diff:.6g} "
+          f"(feasibility tol {tol:g})")
+    if diff > tol:
+        print("FAIL: default-precision einsum is NOT f32 on this backend — "
+              "geometry contractions must stay componentwise")
+        return 1
+    print("PASS")
+    return 0
 
 
 if __name__ == "__main__":

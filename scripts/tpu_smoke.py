@@ -183,6 +183,72 @@ def check_step_impl():
 
 
 
+def check_pyramid_pool_faces():
+    """r5 root-cause guard for the 'pyramid blob': the geometry builder's
+    feasibility contraction must stay f32 (an einsum here lowers to the
+    MXU at the stack's DEFAULT matmul precision — bf16 on current stacks —
+    and drops every non-basal face; see
+    scripts/repro_pyramid_loop_miscompile.py). All 20 faces of the e2e
+    pyramid crystal must be present when the pool is built ON CHIP."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ice_halo_sim_tpu.config.loader import load_project_file
+    from ice_halo_sim_tpu.engine.simulator import Engine
+
+    cfg = load_project_file("/root/reference/test/e2e/configs/pyramid.json")
+    eng = Engine(cfg, seed=3, batch_size=1 << 14)
+    import jax
+
+    pool = jax.jit(
+        lambda: eng._sample_layer_pool(0, eng.layers[0], jnp.uint32(0))
+    )()
+    present = np.asarray(pool.face_present)[0]
+    assert present.all(), (
+        f"pyramid pool on chip dropped faces: present={present.astype(int)} "
+        "— the geometry feasibility math is running below f32 again"
+    )
+    log("pyramid pool face presence on chip: OK (20/20)")
+
+
+def check_trace_kernel_ab():
+    """Megakernel A/B: the Pallas trace kernel and the XLA trace path must
+    agree on chip (exact traced-segment counts — streams are shared
+    bit-for-bit — and image mass to float noise). Guards the kernel
+    against platform miscompiles the interpreter tests cannot see."""
+    import numpy as np
+
+    from ice_halo_sim_tpu.config.loader import load_project_file
+    from ice_halo_sim_tpu.engine.simulator import Engine
+
+    os.environ["IHT_MIN_EMIT_W"] = "0"
+    os.environ["IHT_SLOT_CAP"] = "off"
+    try:
+        cfg = load_project_file(
+            "/root/reference/test/e2e/configs/bench_light_single_ms.json"
+        )
+        ek = Engine(cfg, seed=9, batch_size=1 << 15, accum_method="sort")
+        assert ek.trace_path == "pallas-megakernel", ek._kernel_reason
+        ek.run(n_batches=2)
+        ek.drain_stats()
+        os.environ["IHT_PALLAS_TRACE"] = "0"
+        ex = Engine(cfg, seed=9, batch_size=1 << 15, accum_method="sort")
+        ex.run(n_batches=2)
+        ex.drain_stats()
+        assert ek.stats.ray_segments == ex.stats.ray_segments, (
+            ek.stats.ray_segments, ex.stats.ray_segments,
+        )
+        a, b = ek.raw_xyz(0), ex.raw_xyz(0)
+        rel = float(np.abs(a - b).sum() / max(b.sum(), 1e-9))
+        assert rel < 5e-3, f"kernel-vs-XLA image divergence {rel:.2e}"
+        log(f"trace kernel A/B vs XLA on chip: OK (segs exact, "
+            f"sum|diff|/sum {rel:.1e})")
+    finally:
+        os.environ.pop("IHT_PALLAS_TRACE", None)
+        os.environ.pop("IHT_MIN_EMIT_W", None)
+        os.environ.pop("IHT_SLOT_CAP", None)
+
+
 def check_pyramid_multistep_rings():
     """Round-4 regression guard: the looped (fori_loop/scan) compilation of
     the NF=20 pyramid trace MISCOMPILES on real TPU — rays come out
@@ -234,7 +300,9 @@ def main() -> int:
     check_fused_scan()
     check_sandwich()
     check_step_impl()
+    check_pyramid_pool_faces()
     check_pyramid_multistep_rings()
+    check_trace_kernel_ab()
     log(f"ALL OK in {time.time() - t0:.1f}s on {jax.devices()[0]}")
     return 0
 

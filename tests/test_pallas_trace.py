@@ -98,6 +98,72 @@ def test_kernel_parity_with_rr_floor_and_tail(interpret_kernels, monkeypatch):
     )
 
 
+def _stochastic_cfg(kind="prism"):
+    from ice_halo_sim_tpu.config.loader import load_project
+
+    shape = (
+        {"height": {"type": "gauss", "mean": 1.1, "std": 0.15}}
+        if kind == "prism"
+        else {"upper_h": {"type": "gauss", "mean": 0.3, "std": 0.05},
+              "prism_h": 0.9, "lower_h": 0.3}
+    )
+    return load_project({
+        "crystal": [
+            {"id": 1, "type": kind, "shape": shape,
+             "axis": {"zenith": {"type": "gauss", "mean": 90, "std": 1.2},
+                      "azimuth": {"type": "uniform", "mean": 0, "std": 360}}}
+        ],
+        "filter": [],
+        "scene": {
+            "light_source": {"type": "sun", "altitude": 25,
+                             "spectrum": [{"wavelength": 550, "weight": 1.0},
+                                          {"wavelength": 650, "weight": 0.8}]},
+            "ray_num": 10000, "max_hits": 5,
+            "scattering": [{"prob": 0.0,
+                            "entries": [{"crystal": 1, "proportion": 1}]}],
+        },
+        "render": [{"id": 1,
+                    "lens": {"type": "fisheye_equal_area", "fov": 165},
+                    "resolution": [128, 64], "view": {"elevation": 90},
+                    "visible": "full"}],
+    })
+
+
+@pytest.mark.parametrize("kind", ["prism", "pyramid"])
+def test_kernel_blocked_pool_parity(interpret_kernels, monkeypatch, kind):
+    """Blocked-pool mode (stochastic K-shape geometry, geom_clock 128):
+    the kernel consumes the SAME per-batch pool arrays the XLA path
+    samples, so integer stats match exactly and images to float noise.
+    Covers both NF=8 prisms and NF=20 pyramids (the r4 miscompile class
+    ran through lax loops; the kernel's bounce loop is python-unrolled)."""
+    cfg = _stochastic_cfg(kind)
+    monkeypatch.setenv("IHT_MIN_EMIT_W", "0")
+    monkeypatch.setenv("IHT_SLOT_CAP", "off")
+
+    monkeypatch.setenv("IHT_PALLAS_TRACE", "auto")
+    ek = Engine(cfg, seed=11, batch_size=4096, accum_method="sort")
+    assert ek.trace_path == "pallas-megakernel", ek._kernel_reason
+    assert ek.geom_clock == 128  # auto-bumped from the default
+    assert ek._trace_plan.pool_k > 0
+    ek.run(n_batches=2)
+    ek.drain_stats()
+
+    monkeypatch.setenv("IHT_PALLAS_TRACE", "0")
+    ex = Engine(cfg, seed=11, batch_size=4096, accum_method="sort",
+                geom_clock=128)
+    assert ex.trace_path == "xla"
+    ex.run(n_batches=2)
+    ex.drain_stats()
+
+    assert ek.stats.ray_segments == ex.stats.ray_segments
+    img_k, img_x = ek.raw_xyz(0), ex.raw_xyz(0)
+    assert img_x.sum() > 0
+    np.testing.assert_allclose(img_k.sum(), img_x.sum(), rtol=1e-5)
+    np.testing.assert_allclose(
+        img_k, img_x, rtol=1e-4, atol=1e-6 * img_x.max()
+    )
+
+
 def test_kernel_fallback_reasons(interpret_kernels, monkeypatch):
     """Ineligible scenes fall back to the XLA path with a recorded reason."""
     monkeypatch.setenv("IHT_PALLAS_TRACE", "auto")
