@@ -121,13 +121,18 @@ def _face_polygons(plane_n, plane_d, ref_scale):
     x = (b0[..., None] * cross_gh + b1[..., None] * cross_ha + b2[..., None] * cross_ag) / safe_det[..., None]
 
     # Feasibility: inside every half-space (slack <= tol). The contraction
-    # is spelled out componentwise ON PURPOSE: as an einsum it lowers to
-    # the MXU at the DEFAULT matmul precision — bfloat16 on current TPU
-    # stacks — and candidate vertices reach |x| ~ 1e4 against a 5e-5
-    # tolerance, so every slack test failed and all non-basal faces were
-    # marked absent (r5 regression found by the parity battery: pyramid
-    # scene at 19 dB, rays passing through basal slabs undeviated).
-    # Elementwise VPU math stays f32 exact.
+    # is spelled out componentwise ON PURPOSE — as an einsum it lowers to
+    # the MXU at the stack's DEFAULT matmul precision (bfloat16 on current
+    # stacks), and near-boundary candidates (the only ones where precision
+    # matters) pick up ~1e-2 absolute error against a 5e-5 tolerance, so
+    # every slack test failed and all non-basal faces were marked absent
+    # (the r5 "pyramid blob", caught by the parity battery at 19 dB; the
+    # r4 "looped-trace miscompile" was this einsum folding differently per
+    # compile context). Componentwise VPU math is f32 exact; the barrier
+    # pins one materialization of the [NF, C, NF] tensor so consumer
+    # fusions cannot duplicate it. (einsum precision="high"/"highest" is
+    # also correct but measured ~equal cost here — the scene's cost is
+    # dominated by physics fan-out, not this pass.)
     tol = 5e-5 * jnp.maximum(ref_scale, 0.1)
     slack = (
         x[..., 0, None] * plane_n[None, None, :, 0]
@@ -135,6 +140,7 @@ def _face_polygons(plane_n, plane_d, ref_scale):
         + x[..., 2, None] * plane_n[None, None, :, 2]
         + plane_d[None, None, :]
     )
+    slack = jax.lax.optimization_barrier(slack)
     feasible = ok_det & (jnp.max(slack, axis=-1) <= tol)  # [NF, C]
 
     # Angular sort in the face plane around the feasible centroid.

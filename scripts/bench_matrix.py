@@ -93,7 +93,10 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
     engine.run(n_batches=min(2 * engine.steps_per_dispatch, 64))
     sync()
 
-    n_batches = max(1, min_rays // engine.batch_size)
+    # Round the rep length to a dispatch-grain multiple: a tail dispatch
+    # with a new k would compile INSIDE rep 1 and poison the CoV.
+    spd = engine.steps_per_dispatch
+    n_batches = max(spd, (min_rays // engine.batch_size) // spd * spd)
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -115,7 +118,49 @@ def run_cell(scene: str, res, batch: int, reps: int, min_rays: int):
         "platform": jax.devices()[0].platform,
         "fold": engine.fold_kind,
         "fold_decision": engine.fold_decision,
+        "trace_path": engine.trace_path,
     }
+
+
+def run_small_scene_cell(scene_file: str, rays: int):
+    """Small-scene wall time (VERDICT r4 weak #7): END-TO-END seconds for a
+    small ray budget, cold (empty compile cache) and warm (persistent
+    cache), measured in subprocesses so compile state is honest. The
+    reference CPU CLI takes ~40 s on halo_22; cold-compile dominance is
+    the TPU renderer's small-scene UX cost."""
+    import subprocess
+    import tempfile
+
+    code = (
+        "import os, time, json, sys\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir', sys.argv[1])\n"
+        "from ice_halo_sim_tpu.config.loader import load_project_file\n"
+        "from ice_halo_sim_tpu.engine.simulator import Engine\n"
+        f"cfg = load_project_file('{REFERENCE_CONFIGS}/{scene_file}')\n"
+        "t0 = time.time()\n"
+        f"eng = Engine(cfg, seed=1, batch_size=1 << 17)\n"
+        f"eng.run(total_rays={rays})\n"
+        "eng.snapshot()\n"
+        "print(json.dumps({'wall_s': round(time.time() - t0, 1),"
+        " 'trace_path': eng.trace_path}))\n"
+    )
+    out = {}
+    warm_dir = os.path.expanduser("~/.cache/iht_jax_cache")
+    with tempfile.TemporaryDirectory() as cold_dir:
+        for label, cache in (("cold", cold_dir), ("warm", warm_dir)):
+            r = subprocess.run(
+                [sys.executable, "-c", code, cache],
+                capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))),
+            )
+            if r.returncode != 0:
+                out[label] = {"error": r.stderr[-300:]}
+            else:
+                out[label] = json.loads(r.stdout.strip().splitlines()[-1])
+    return {"scene": f"small:{scene_file}", "rays": rays, **{
+        f"{k}_{kk}": vv for k, v in out.items() for kk, vv in v.items()
+    }}
 
 
 def main(argv=None) -> int:
@@ -129,6 +174,9 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--quick", action="store_true",
                    help="CI mode: light scene only, 1 rep, small budget")
+    p.add_argument("--small-scene", action="store_true",
+                   help="also measure small-scene end-to-end wall time "
+                        "(halo_22 at 2M rays, cold + warm compile cache)")
     args = p.parse_args(argv)
     if args.quick:
         args.scenes = "light"
@@ -143,9 +191,11 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     on_cpu = jax.devices()[0].platform == "cpu"
-    # 512k measured optimal on v5e-class chips: 256k loses to per-batch
-    # fixed costs, 1M to lax.sort superlinearity (doc/perf-notes.md).
-    batch = args.batch or (1 << 17 if on_cpu else 1 << 19)
+    # 112 kernel blocks measured optimal on v5e at r5 (the largest batch
+    # whose fold rows snap under the 2^20 unstable-sort VMEM cliff on the
+    # light scene; multi-layer scenes have their own optima but the same
+    # default is used for comparability — doc/perf-notes.md r5).
+    batch = args.batch or (1 << 17 if on_cpu else 112 * 2048)
     min_rays = args.min_rays or ((1 << 20) if on_cpu else (1 << 26))
 
     for scene in args.scenes.split(","):
@@ -181,6 +231,9 @@ def main(argv=None) -> int:
                         break
                     b //= 2
             print(json.dumps(cell), flush=True)
+    if args.small_scene:
+        print(json.dumps(run_small_scene_cell("halo_22.json", 2_000_000)),
+              flush=True)
     return 0
 
 
