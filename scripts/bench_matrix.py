@@ -37,6 +37,7 @@ BASELINES = {
     "complex_sop": 6.53e6,
     "filtered_bd": 6.60e6,
     "pyramid": None,
+    "raypath_color": None,
 }
 
 SCENE_FILES = {
@@ -45,6 +46,10 @@ SCENE_FILES = {
     "complex_sop": "ms_multi_crystal_complex_filter.json",
     "filtered_bd": "ms_multi_crystal_filtered_bd.json",
     "pyramid": "ms3_mixed_pyramid_heavy.json",
+    # r5: raypath-color classes ride the sort fold as a mask column
+    # (per-class Y lanes rebuilt post-sort) — this cell is the committed
+    # evidence that color scenes run the fast fold, not a degraded path.
+    "raypath_color": "raypath_color_three_arcs.json",
 }
 
 
@@ -165,7 +170,7 @@ def run_small_scene_cell(scene_file: str, rays: int):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--scenes", default="light,ms_multi,complex_sop,filtered_bd,pyramid")
+    p.add_argument("--scenes", default="light,ms_multi,complex_sop,filtered_bd,pyramid,raypath_color")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--res", default="512x256,2048x1024")
     p.add_argument("--batch", type=int, default=None)
