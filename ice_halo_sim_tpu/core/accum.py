@@ -456,6 +456,37 @@ def fold_spectral_keys(
     return acc + _marker_extract(key2, seg, P, block)
 
 
+def fold_spectral_keys_premerged(acc, keys, w, k_pool: int, basis_fn,
+                                 chunk: int = 2048):
+    """Sort-fold over rows that ALREADY contain the per-pixel marker keys
+    (pallas_ops.scatter_blocks_multi marker_tail) — no concatenate/pad
+    stage: the sort consumes the block scatter's output arrays directly.
+
+    Rows outside contributions/markers must be (key 0, weight 0): they
+    sort first as zero-weight contributions to pixel 0, which fold to
+    nothing — exact, same contract as the zero-filled scatter tail.
+    Requires the Pallas fused scan (TPU / interpret); the caller gates.
+
+    Measured motivation (scripts/probe_r5_step.py, v5e): the legacy
+    fold's glue — two ~4 MB concatenates, the pad fill, and the key2
+    elementwise pass over the sorted keys — costs ~0.3-0.5 ms/batch at
+    the bench operating point, all of it removed here (the scan kernel
+    emits key2 itself via emit_key2).
+    """
+    P = acc.shape[0]
+    M = keys.shape[0]
+    block = chunk if chunk > BLOCK else BLOCK
+    assert M % block == 0, (M, block)
+    assert pallas_scan.available(), "premerged fold needs the fused scan"
+    shift = (2 * k_pool).bit_length() - 1
+    sk, sw = jax.lax.sort((keys, w), num_keys=1, is_stable=False)
+    tbl = basis_fn(jnp.arange(k_pool, dtype=jnp.uint32))
+    seg, key2 = pallas_scan.fused_scan_call(
+        sk, sw, tbl, shift, k_pool, emit_key2=True
+    )
+    return acc + _marker_extract(key2, seg, P, block)
+
+
 def fold_spectral(
     acc, pix, w, wl_idx, k_pool: int, basis_fn, lane_specs=(), mask=None,
     chunk: int = 2048,

@@ -417,12 +417,37 @@ def pack_payload_blocks(key, cols, thresh: int, block: int):
     return pcols, counts
 
 
-def scatter_blocks_multi(vals_list, start, out_len: int, block: int):
+def marker_tail_ok(n_vals: int, out_len: int, block: int,
+                   tail_start: int, tail_len: int) -> bool:
+    """Whether scatter_blocks_multi can honor a marker_tail request: the
+    VMEM-output variant must apply (the per-array fallback cannot write
+    the tail) and the tail must be whole-row aligned."""
+    br = block // LANES
+    out_rows = (-(-out_len // ALIGN)) * SUB_ALIGN + br + 2 * SUB_ALIGN
+    out_rows = -(-out_rows // SUB_ALIGN) * SUB_ALIGN
+    return (
+        n_vals * out_rows * LANES * 4 <= _VMEM_OUT_BYTES
+        and tail_start % ALIGN == 0
+        and tail_len % ALIGN == 0
+        and tail_start + tail_len <= out_len
+    )
+
+
+def scatter_blocks_multi(vals_list, start, out_len: int, block: int,
+                         marker_tail=None):
     """scatter_blocks for V payload arrays sharing ONE start vector: one
     kernel computes each window's roll/blend masks once and applies them
     to every payload (measured ~30-40% cheaper than V separate calls).
     VMEM-output variant only — falls back to per-array scatter_blocks when
-    the dense outputs exceed the VMEM budget."""
+    the dense outputs exceed the VMEM budget.
+
+    marker_tail: optional (tail_start, tail_len, shift, low_or) — after
+    every window write, the FINAL grid step fills channel 0's flat range
+    [tail_start, tail_start + tail_len) with ((i << shift) | low_or) for
+    i in [0, tail_len) (u32 marker keys for the pre-merged accumulation
+    fold: the sort input comes straight out of this kernel with the
+    per-pixel marker rows already in place — no XLA concatenate pass).
+    Ranges must be ALIGN-aligned; caller gates with marker_tail_ok()."""
     V = len(vals_list)
     G, blk = vals_list[0].shape
     assert blk % ALIGN == 0, blk
@@ -430,9 +455,16 @@ def scatter_blocks_multi(vals_list, start, out_len: int, block: int):
     out_rows = (-(-out_len // ALIGN)) * SUB_ALIGN + br + 2 * SUB_ALIGN
     out_rows = -(-out_rows // SUB_ALIGN) * SUB_ALIGN
     if V * out_rows * LANES * 4 > _VMEM_OUT_BYTES:
+        assert marker_tail is None, (
+            "marker_tail needs the VMEM scatter variant (marker_tail_ok)"
+        )
         return [
             scatter_blocks(v, start, out_len, block) for v in vals_list
         ]
+    if marker_tail is not None:
+        t0, tlen, msh, mlow = marker_tail
+        assert t0 % ALIGN == 0 and tlen % ALIGN == 0, (t0, tlen)
+        assert t0 + tlen <= out_len, (t0, tlen, out_len)
     Gp = -(-G // SUP) * SUP
     if Gp != G:
         vals_list = [
@@ -468,6 +500,28 @@ def scatter_blocks_multi(vals_list, start, out_len: int, block: int):
                     window = o_ref[pl.ds(wr, WR), :]
                     o_ref[pl.ds(wr, WR), :] = jnp.where(fio, shifted, window)
 
+        if marker_tail is not None:
+            # Marker keys into channel 0's tail — on the LAST grid step,
+            # AFTER its windows: trailing blocks' window slop (zero rows
+            # past a block's live count) can reach up to `blk` flat
+            # elements past their start, so markers written any earlier
+            # could be stomped back to zero.
+            tr0, trn = t0 // LANES, tlen // LANES
+
+            @pl.when(g == n_steps - 1)
+            def _():
+                row_i = jax.lax.broadcasted_iota(
+                    jnp.uint32, (trn, LANES), 0
+                )
+                lane_i = jax.lax.broadcasted_iota(
+                    jnp.uint32, (trn, LANES), 1
+                )
+                idx = row_i * jnp.uint32(LANES) + lane_i
+                out_refs[0][tr0:tr0 + trn, :] = (
+                    (idx << jnp.uint32(msh)) | jnp.uint32(mlow)
+                ).astype(out_refs[0].dtype)
+
+    n_steps = Gp // SUP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Gp // SUP,),

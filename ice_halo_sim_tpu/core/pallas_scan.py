@@ -142,7 +142,11 @@ def _lane_prefix_flagonly(f):
 
 
 def _scan_kernel(sk_ref, sw_ref, tbl_ref, c0_ref, c1_ref, c2_ref,
-                 carry_ref, K: int, shift: int):
+                 *rest, K: int, shift: int, emit_key2: bool = False):
+    if emit_key2:
+        k2_ref, carry_ref = rest
+    else:
+        (carry_ref,) = rest
     g = pl.program_id(0)
     sk = sk_ref[...]
     sw = sw_ref[...]
@@ -210,6 +214,13 @@ def _scan_kernel(sk_ref, sw_ref, tbl_ref, c0_ref, c1_ref, c2_ref,
     c0_ref[...] = outs[0]
     c1_ref[...] = outs[1]
     c2_ref[...] = outs[2]
+    if emit_key2:
+        # Marker-extraction key for the pre-merged fold: the pixel id at
+        # marker rows (all-ones low bits), 0xFFFFFFFF elsewhere — computed
+        # here for free (pix is already decoded) instead of a separate
+        # XLA elementwise pass re-reading the sorted keys from HBM.
+        is_marker = (sk & jnp.uint32(2 * K - 1)) == jnp.uint32(2 * K - 1)
+        k2_ref[...] = jnp.where(is_marker, pix, jnp.uint32(0xFFFFFFFF))
 
     # New carry = value at the LAST flat position (inclusive scan there is
     # the open-run total including any inherited carry).
@@ -239,12 +250,16 @@ def _row_prefix_or_exclusive(f):
 
 
 def fused_scan_call(sk, sw, basis_tbl, shift: int, k_pool: int,
-                    rows_per_block: int = 256):
+                    rows_per_block: int = 256, emit_key2: bool = False):
     """Host wrapper: [M] inputs -> 3 x [M] segmented-prefix channels.
 
     Pads internally to a rows_per_block*128 multiple (pad keys 0xFFFFFFFF,
     zero weight — the scan is causal, so trailing pad never affects real
     rows) and slices the outputs back to M.
+
+    emit_key2: also return the marker-extraction key (pixel id at marker
+    rows, 0xFFFFFFFF elsewhere) as a 4th array — (chans, key2) instead of
+    chans.
     """
     M = sk.shape[0]
     R = rows_per_block
@@ -257,7 +272,10 @@ def fused_scan_call(sk, sw, basis_tbl, shift: int, k_pool: int,
     sk2 = sk.reshape(G * R, LANES)
     sw2 = sw.reshape(G * R, LANES)
 
-    kernel = functools.partial(_scan_kernel, K=k_pool, shift=shift)
+    n_out = 4 if emit_key2 else 3
+    kernel = functools.partial(
+        _scan_kernel, K=k_pool, shift=shift, emit_key2=emit_key2
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -268,10 +286,17 @@ def fused_scan_call(sk, sw, basis_tbl, shift: int, k_pool: int,
         ],
         out_specs=[
             pl.BlockSpec((R, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM)
-            for _ in range(3)
+            for _ in range(n_out)
         ],
-        out_shape=[jax.ShapeDtypeStruct((G * R, LANES), jnp.float32)] * 3,
+        out_shape=(
+            [jax.ShapeDtypeStruct((G * R, LANES), jnp.float32)] * 3
+            + ([jax.ShapeDtypeStruct((G * R, LANES), jnp.uint32)]
+               if emit_key2 else [])
+        ),
         scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
         interpret=INTERPRET,
     )(sk2, sw2, basis_tbl)
-    return [o.reshape(-1)[:M] for o in outs]
+    chans = [o.reshape(-1)[:M] for o in outs[:3]]
+    if emit_key2:
+        return chans, outs[3].reshape(-1)[:M]
+    return chans

@@ -154,7 +154,14 @@ class Engine:
             static_argnums=(2, 3, 4),
             donate_argnums=(0,),
         )
-        self.steps_per_dispatch = 16
+        from ice_halo_sim_tpu.utils import env_knobs as _knobs
+
+        # Measured on the tunneled v5e link (scripts/probe_r5_step.py):
+        # device-only step 2.30 ms vs 2.58+ ms e2e at grain 16 — ~0.3 ms
+        # of per-batch dispatch overhead that halves with each doubling.
+        self.steps_per_dispatch = int(
+            _knobs.get("IHT_STEPS_PER_DISPATCH", 64)
+        )
         # Runtime calibration from the first dispatch's measured counts:
         # dead-row compaction before the fold (None per render = off) and
         # continuation-capacity trimming (plan rebuild; _plan_version is the
@@ -1545,7 +1552,7 @@ class Engine:
         calibrated `keep` prefix first — replacing the XLA path's
         pack_spectral_keys + compact_valid prepass entirely.
         """
-        from ice_halo_sim_tpu.core import pallas_ops
+        from ice_halo_sim_tpu.core import pallas_ops, pallas_scan
 
         B = self.batch_size
         bh = jnp.uint32(0) if base_hi is None else base_hi
@@ -1606,14 +1613,38 @@ class Engine:
             # Tail rows past the last write are zero-filled: key 0 is a
             # zero-weight contribution to pixel 0, which folds to nothing
             # (same contract as accum.compact_valid).
-            ck, cw = pallas_ops.scatter_blocks_multi(
-                [keys, wvals], start, kr, blk
+            P_r = xyz_acc[r].shape[0]
+            shift = (2 * self.k_pool).bit_length() - 1
+            fold_blk = accum_mod.BLOCK
+            out_total = -(-(kr + P_r) // fold_blk) * fold_blk
+            premerged = (
+                pallas_scan.available()
+                and pallas_ops.marker_tail_ok(2, out_total, blk, kr, P_r)
             )
-
-            def fold_prefix(acc, ck=ck, cw=cw):
-                return accum_mod.fold_spectral_keys(
-                    acc, ck, cw, self.k_pool, basis_fn
+            if premerged:
+                # Pre-merged fold: the scatter kernel's final grid step
+                # writes the P_r marker keys into [kr, kr + P_r), so the
+                # sort consumes these arrays directly — the legacy fold's
+                # concatenate/pad glue (~0.3-0.5 ms/batch measured,
+                # scripts/probe_r5_step.py) never exists.
+                ck, cw = pallas_ops.scatter_blocks_multi(
+                    [keys, wvals], start, out_total, blk,
+                    marker_tail=(kr, P_r, shift, 2 * self.k_pool - 1),
                 )
+
+                def fold_prefix(acc, ck=ck, cw=cw):
+                    return accum_mod.fold_spectral_keys_premerged(
+                        acc, ck, cw, self.k_pool, basis_fn
+                    )
+            else:
+                ck, cw = pallas_ops.scatter_blocks_multi(
+                    [keys, wvals], start, kr, blk
+                )
+
+                def fold_prefix(acc, ck=ck, cw=cw):
+                    return accum_mod.fold_spectral_keys(
+                        acc, ck, cw, self.k_pool, basis_fn
+                    )
 
             xyz_acc[r] = jax.lax.cond(
                 live <= jnp.uint32(kr), fold_prefix, fold_full, xyz_acc[r]

@@ -137,6 +137,17 @@ KNOBS: Dict[str, Knob] = {
             str,
         ),
         Knob(
+            "IHT_STEPS_PER_DISPATCH",
+            "batches fused into one device execution (fori_loop over the "
+            "step). Each host->device dispatch costs fixed latency — "
+            "severe over tunneled device links — so the grain is the "
+            "dispatch-overhead amortizer (reference "
+            "LUMICE_DISPATCH_RAY_NUM analog). Default 64.",
+            int,
+            lo=1,
+            hi=1024,
+        ),
+        Knob(
             "IHT_EMIT_FLOOR",
             "emit-floor mechanism: 'rr' (default — Russian roulette: a "
             "sub-threshold exit survives with probability w/cut at weight "

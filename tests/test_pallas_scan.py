@@ -110,3 +110,56 @@ def test_fold_spectral_uses_fused_scan(interpret):
     for i in np.where(valid)[0]:
         want[pix[i]] += tbl[wl[i]] * w[i]
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+def test_premerged_fold_matches_legacy(interpret):
+    """fold_spectral_keys_premerged over a marker-tail scatter output ==
+    fold_spectral_keys over the raw live rows (the round-5b glue-free
+    kernel-path fold: scatter emits markers, scan emits key2)."""
+    from ice_halo_sim_tpu.core import pallas_ops
+
+    pallas_ops.INTERPRET = True
+    try:
+        rng = np.random.default_rng(11)
+        P, K = 16384, 16
+        shift = (2 * K).bit_length() - 1
+        kr, blk, G = 12288, 4096, 5
+        counts = rng.integers(300, 2200, G).astype(np.int32)
+        keys = np.zeros((G, blk), np.uint32)
+        wv = np.zeros((G, blk), np.float32)
+        for g in range(G):
+            c = counts[g]
+            pix = rng.integers(0, P, c).astype(np.uint32)
+            wl = rng.integers(0, K, c).astype(np.uint32)
+            keys[g, :c] = (pix << shift) | (wl << 1)
+            wv[g, :c] = rng.random(c).astype(np.float32)
+        start = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+        assert int(counts.sum()) <= kr
+
+        def basis_fn(idx):
+            i = idx.astype(jnp.float32)
+            return jnp.stack([jnp.sin(i) + 2, jnp.cos(i) + 2, i * 0.01 + 1], -1)
+
+        out_total = -(-(kr + P) // accum.BLOCK) * accum.BLOCK
+        assert pallas_ops.marker_tail_ok(2, out_total, blk, kr, P)
+        ck, cw = pallas_ops.scatter_blocks_multi(
+            [jnp.asarray(keys), jnp.asarray(wv)], jnp.asarray(start),
+            out_total, blk, marker_tail=(kr, P, shift, 2 * K - 1),
+        )
+        exp_markers = (np.arange(P, dtype=np.uint32) << shift) | np.uint32(
+            2 * K - 1
+        )
+        np.testing.assert_array_equal(np.asarray(ck)[kr:kr + P], exp_markers)
+        assert np.all(np.asarray(cw)[kr:] == 0.0)
+
+        acc0 = jnp.zeros((P, 3), jnp.float32)
+        got = accum.fold_spectral_keys_premerged(acc0, ck, cw, K, basis_fn)
+        vk = np.concatenate([keys[g, : counts[g]] for g in range(G)])
+        vw = np.concatenate([wv[g, : counts[g]] for g in range(G)])
+        ref = accum.fold_spectral_keys(
+            acc0, jnp.asarray(vk), jnp.asarray(vw), K, basis_fn
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+    finally:
+        pallas_ops.INTERPRET = False
